@@ -1,0 +1,104 @@
+"""Benchmark: scored moves/s on the flagship VRP workload.
+
+Workload: synthetic multi-depot time-windowed CVRP with 1000 customers, 8
+depots, 40 vehicles (the belgium-tw-d8-n1000-k40 analog from the reference's
+example list — the repo ships no data files, so the instance is generated,
+`examples/vrp/src/main.rs:37`). Solver config: TabuSearch islands, each
+scoring a full neighborhood batch per step — the BASELINE "scored moves per
+second" metric counts every candidate whose full score row is computed.
+
+vs_baseline: BASELINE.json targets >=100x a 64-thread CPU run of the
+reference Rust solver, which publishes no absolute numbers. The constant
+below estimates that baseline at 2.0e6 scored moves/s: the reference's fused
+incremental rescore walks ~n=1000 stops with hash-set uniqueness + route
+walks (~30us/move/thread measured for equivalent Rust-style workloads)
+times 64 threads with its claimed near-linear scaling. Revisit when a real
+measurement of the reference on matching hardware exists.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_CPU_BASELINE = 2.0e6  # scored moves/s, 64-thread estimate (docstring)
+
+N_CUSTOMERS = int(os.environ.get("GJ_BENCH_CUSTOMERS", "1000"))
+N_DEPOTS = 8
+K_VEHICLES = 40
+N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "8"))
+NEIGHBOURS = int(os.environ.get("GJ_BENCH_NEIGHBOURS", "256"))
+CHUNK_STEPS = int(os.environ.get("GJ_BENCH_CHUNK_STEPS", "10"))
+TARGET_SECONDS = float(os.environ.get("GJ_BENCH_SECONDS", "20"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from greyjack_tpu.models.vrp import CotwinBuilder, generate_instance
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+    from greyjack_tpu.agents import TabuSearch
+    from greyjack_tpu.agents.termination_strategies import StepsLimit
+    from greyjack_tpu.parallel import IslandRunner
+
+    t0 = time.time()
+    domain = generate_instance(N_CUSTOMERS, N_DEPOTS, K_VEHICLES, seed=37,
+                               time_windowed=True)
+    # use_greed_init=False: the greedy init's host read-back is a device->
+    # host transfer, which is minutes-slow over the axon tunnel; throughput
+    # is init-independent
+    cotwin = CotwinBuilder(True, False).build_cotwin(domain, False)
+    req = ScoreRequester(cotwin)
+    agent = TabuSearch(NEIGHBOURS, 0.2, True, None,
+                       [0.5, 0.5, 0.0, 0.0, 0.0, 0.0], CHUNK_STEPS,
+                       StepsLimit(10**9))
+    kernel = agent.build_kernel(req, None)
+    runner = IslandRunner(kernel, n_islands=N_ISLANDS,
+                          migration_frequency=CHUNK_STEPS)
+    print(f"# setup {time.time()-t0:.1f}s on {jax.devices()[0].platform}",
+          flush=True)
+
+    key = jax.random.key(0)
+    state = runner.init(key)
+    alive = jnp.ones((N_ISLANDS,), bool)
+
+    # warmup/compile
+    t0 = time.time()
+    state = runner.run_chunk(state, jax.random.key(1), alive, {}, CHUNK_STEPS)
+    jax.block_until_ready(state)
+    print(f"# compile+first chunk {time.time()-t0:.1f}s", flush=True)
+
+    moves_per_chunk = N_ISLANDS * NEIGHBOURS * CHUNK_STEPS
+    chunks = 0
+    t0 = time.time()
+    while True:
+        state = runner.run_chunk(state, jax.random.key(100 + chunks), alive,
+                                 {}, CHUNK_STEPS)
+        chunks += 1
+        if chunks % 4 == 0:
+            jax.block_until_ready(state)
+            if time.time() - t0 > TARGET_SECONDS:
+                break
+    jax.block_until_ready(state)
+    elapsed = time.time() - t0
+    throughput = chunks * moves_per_chunk / elapsed
+    print(f"# {chunks} chunks in {elapsed:.2f}s", flush=True)
+    if os.environ.get("GJ_BENCH_FETCH_SCORE"):
+        # device->host fetches over the axon tunnel are extremely slow
+        # (minutes); the score read is opt-in for local/CPU runs
+        best = np.asarray(state["global_score"])
+        print(f"# best score {best.tolist()}", flush=True)
+    print(json.dumps({
+        "metric": "vrp_scored_moves_per_s",
+        "value": round(throughput, 1),
+        "unit": "moves/s",
+        "vs_baseline": round(throughput / REFERENCE_CPU_BASELINE, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Shared agent machinery: device state pytree + the per-step contract.
+
+The reference `Agent` (`greyjack/src/agents/base/agent_base.rs:31-188`) is an
+OS thread mutating a `Vec<Individual>`; here an agent ("island") is a pure
+state pytree advanced by a jitted step function, and `n_jobs` islands are a
+leading vmap/mesh axis (SURVEY.md §2.3). Individuals never exist on the hot
+path — the population is a dense `f64[P, V]` plus a score block `f64[P, S]`.
+
+A metaheuristic provides:
+    init_state(key)          -> state pytree (per island)
+    step(key, state, extras) -> state pytree
+
+`extras` carries host-injected per-chunk scalars (currently the SA
+auto-temperature `inverted_accomplish_rate`, reference
+`agent_base.rs:537-552`).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from greyjack_tpu.ops import lexico
+from greyjack_tpu.utils.math_utils import round_decimal_jnp
+
+STUB = sys.float_info.max - 1.0
+
+
+class MetaheuristicKernel:
+    """Bundle of device closures handed to the island runner."""
+
+    def __init__(self, builder, init_state, step):
+        self.builder = builder
+        self.init_state = init_state
+        self.step = step
+        self.metaheuristic_kind = builder.metaheuristic_kind
+        self.population_size = builder.population_size
+        self.migration_rate = builder.migration_rate
+
+
+def make_score_fn(requester, score_precision=None):
+    """population [P, V] -> scores [P, S], with optional truncating decimal
+    rounding per component (`agent_base.rs:284-287`)."""
+    if score_precision is not None:
+        precision = jnp.asarray(list(score_precision), dtype=jnp.float64)
+
+        def fn(population):
+            scores = requester.request_score_plain(population)
+            return round_decimal_jnp(scores, precision)
+
+        return fn
+    return requester.request_score_plain
+
+
+def base_state(population, scores):
+    """Common per-island state fields."""
+    top_idx = lexico.lex_argmin(scores)
+    return {
+        "population": population,
+        "scores": scores,
+        "top_values": population[top_idx],
+        "top_score": scores[top_idx],
+        "step_id": jnp.zeros((), jnp.int32),
+    }
+
+
+def update_top(state):
+    """Refresh the agent-best from the current population
+    (`agent_base.rs:220-224`: `population[0] <= agent_top` after sort)."""
+    idx = lexico.lex_argmin(state["scores"])
+    cand_score = state["scores"][idx]
+    better = lexico.lex_leq(cand_score, state["top_score"])
+    state = dict(state)
+    state["top_values"] = jnp.where(better, state["population"][idx], state["top_values"])
+    state["top_score"] = jnp.where(better, cand_score, state["top_score"])
+    return state
+
+
+def mask_state(new_state, old_state, alive):
+    """Freeze dead islands: keep old state where `alive` is False
+    (`agent_base.rs:137-146`: dead agents stop stepping but keep relaying).
+
+    State leaves have a leading island axis; `alive` is bool[I].
+    """
+
+    def sel(n, o):
+        mask = jnp.reshape(alive, alive.shape + (1,) * (n.ndim - 1))
+        return jnp.where(mask, n, o)
+
+    return jax.tree.map(sel, new_state, old_state)

@@ -1,0 +1,98 @@
+"""LateAcceptance — Burke–Bykov late acceptance hill climbing.
+
+Reference: `greyjack/src/agents/late_acceptance.rs:16-75` and
+`late_acceptance_base.rs:29-253`: keep a deque of the last
+`late_acceptance_size` *accepted* scores; accept a candidate iff its score
+<= the deque's oldest entry OR <= the current best. The deque becomes a
+fixed-size ring buffer on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from greyjack_tpu.agents import base
+from greyjack_tpu.ops import lexico, moves
+
+
+def ring_init(size, score_size):
+    return {
+        "buf": jnp.zeros((size, score_size), jnp.float64),
+        "count": jnp.zeros((), jnp.int32),
+        "head": jnp.zeros((), jnp.int32),  # next write slot
+    }
+
+
+def ring_oldest(ring, fallback):
+    """VecDeque.back() — the oldest retained score; `fallback` when empty."""
+    size = ring["buf"].shape[0]
+    idx = (ring["head"] - ring["count"]) % size
+    value = ring["buf"][idx]
+    return jnp.where(ring["count"] > 0, value, fallback)
+
+
+def ring_push_front(ring, score, enable):
+    """push_front + bounded pop_back (`late_acceptance_base.rs:172-180`);
+    no-op when `enable` is False."""
+    size = ring["buf"].shape[0]
+    buf = jnp.where(enable, ring["buf"].at[ring["head"]].set(score), ring["buf"])
+    head = jnp.where(enable, (ring["head"] + 1) % size, ring["head"])
+    count = jnp.where(enable, jnp.minimum(ring["count"] + 1, size), ring["count"])
+    return {"buf": buf, "count": count, "head": head}
+
+
+class LateAcceptance:
+    metaheuristic_kind = "LocalSearch"
+    metaheuristic_name = "LateAcceptance"
+
+    def __init__(self, late_acceptance_size, tabu_entity_rate,
+                 mutation_rate_multiplier, move_probas, migration_frequency,
+                 termination_strategy):
+        self.late_acceptance_size = int(late_acceptance_size)
+        self.tabu_entity_rate = float(tabu_entity_rate)
+        self.mutation_rate_multiplier = mutation_rate_multiplier
+        self.move_probas = move_probas
+        self.migration_frequency = int(migration_frequency)
+        self.termination_strategy = termination_strategy
+        self.population_size = 1
+        self.migration_rate = 1.0
+
+    def build_kernel(self, requester, score_precision=None):
+        vm = requester.variables_manager
+        cfg = moves.MoverConfig(vm, self.tabu_entity_rate,
+                                self.mutation_rate_multiplier, self.move_probas)
+        score_fn = base.make_score_fn(requester, score_precision)
+        s = requester.score_size
+
+        def init_state(key):
+            population = vm.sample_variables(key, 1)
+            scores = score_fn(population)
+            state = base.base_state(population, scores)
+            state["tabu"] = cfg.init_tabu_state()
+            state["late"] = ring_init(self.late_acceptance_size, s)
+            return state
+
+        def step(key, state, extras):
+            k_move, _ = jax.random.split(key)
+            current = state["population"]
+            moved, info = moves.move_population(k_move, current, vm, cfg,
+                                                state["tabu"])
+            moved = vm.fix_all(moved)
+            scores = score_fn(moved)
+            cand_score = scores[0]
+            compare_to = ring_oldest(state["late"], state["scores"][0])
+            accept = lexico.lex_leq(cand_score, compare_to) | lexico.lex_leq(
+                cand_score, state["scores"][0]
+            )
+            state = dict(state)
+            state["late"] = ring_push_front(state["late"], cand_score, accept)
+            state["population"] = jnp.where(accept, moved, state["population"])
+            state["scores"] = jnp.where(accept, scores, state["scores"])
+            if cfg.use_tabu:
+                state["tabu"] = moves.update_tabu_from_info(state["tabu"], info, 0)
+            state = base.update_top(state)
+            state["step_id"] = state["step_id"] + 1
+            return state
+
+        return base.MetaheuristicKernel(self, init_state, step)

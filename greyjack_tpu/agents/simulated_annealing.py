@@ -1,0 +1,87 @@
+"""SimulatedAnnealing — per-score-component temperatures.
+
+Reference: `greyjack/src/agents/simulated_annealing.rs:15-79` and
+`simulated_annealing_base.rs:29-244`: geometric cooling with floor 1e-7, or
+(when cooling_rate is None) temperature = 1 - accomplish_rate injected each
+step by the agent (`agent_base.rs:537-552`). Metropolis acceptance uses the
+product over components of exp(-delta_i / T_i).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from greyjack_tpu.agents import base
+from greyjack_tpu.ops import lexico, moves
+
+
+class SimulatedAnnealing:
+    metaheuristic_kind = "LocalSearch"
+    metaheuristic_name = "SimulatedAnnealing"
+
+    def __init__(self, initial_temperature, cooling_rate, tabu_entity_rate,
+                 mutation_rate_multiplier, move_probas, migration_frequency,
+                 termination_strategy):
+        self.initial_temperature = [float(t) for t in initial_temperature]
+        self.cooling_rate = cooling_rate
+        self.tabu_entity_rate = float(tabu_entity_rate)
+        self.mutation_rate_multiplier = mutation_rate_multiplier
+        self.move_probas = move_probas
+        self.migration_frequency = int(migration_frequency)
+        self.termination_strategy = termination_strategy
+        self.population_size = 1
+        self.migration_rate = 1.0
+
+    def build_kernel(self, requester, score_precision=None):
+        vm = requester.variables_manager
+        cfg = moves.MoverConfig(vm, self.tabu_entity_rate,
+                                self.mutation_rate_multiplier, self.move_probas)
+        score_fn = base.make_score_fn(requester, score_precision)
+        s = requester.score_size
+        if len(self.initial_temperature) != s:
+            raise ValueError(
+                "initial_temperature length must equal score component count"
+            )
+        t0 = jnp.asarray(self.initial_temperature, jnp.float64)
+        cooling = self.cooling_rate
+
+        def init_state(key):
+            population = vm.sample_variables(key, 1)
+            scores = score_fn(population)
+            state = base.base_state(population, scores)
+            state["tabu"] = cfg.init_tabu_state()
+            state["temperature"] = t0
+            return state
+
+        def step(key, state, extras):
+            k_move, k_accept = jax.random.split(key)
+            moved, info = moves.move_population(k_move, state["population"], vm,
+                                                cfg, state["tabu"])
+            moved = vm.fix_all(moved)
+            scores = score_fn(moved)
+            cand_score = scores[0]
+
+            if cooling is not None:
+                # geometric cooling with 1e-7 floor (`:156-165`)
+                temp = state["temperature"] * cooling
+                temp = jnp.where(temp < 1e-6, 1e-7, temp)
+            else:
+                # auto temperature from termination accomplish rate (`:164`)
+                temp = jnp.broadcast_to(extras["inverted_accomplish_rate"], (s,))
+            deltas = cand_score - state["scores"][0]
+            accept_proba = jnp.prod(jnp.exp(-(deltas / temp)))
+            u = jax.random.uniform(k_accept, (), dtype=jnp.float64)
+            accept = lexico.lex_leq(cand_score, state["scores"][0]) | (u < accept_proba)
+
+            state = dict(state)
+            state["temperature"] = temp
+            state["population"] = jnp.where(accept, moved, state["population"])
+            state["scores"] = jnp.where(accept, scores, state["scores"])
+            if cfg.use_tabu:
+                state["tabu"] = moves.update_tabu_from_info(state["tabu"], info, 0)
+            state = base.update_top(state)
+            state["step_id"] = state["step_id"] + 1
+            return state
+
+        return base.MetaheuristicKernel(self, init_state, step)

@@ -1,0 +1,74 @@
+"""TabuSearch — local search over batched neighborhoods.
+
+Reference: `greyjack/src/agents/tabu_search.rs:16-77` (builder) and
+`greyjack/src/agents/metaheuristic_bases/tabu_search_base.rs:25-199`
+(semantics): sample `neighbours_count` independent moves off the current
+best, accept the best neighbour iff <= current. The "tabu" aspect lives in
+the shared Mover's entity tabu. On TPU the whole neighborhood is one
+move+score batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from greyjack_tpu.agents import base
+from greyjack_tpu.ops import lexico, moves, selection
+
+
+class TabuSearch:
+    metaheuristic_kind = "LocalSearch"
+    metaheuristic_name = "TabuSearch"
+
+    def __init__(self, neighbours_count, tabu_entity_rate, compare_to_global,
+                 mutation_rate_multiplier, move_probas, migration_frequency,
+                 termination_strategy):
+        self.neighbours_count = int(neighbours_count)
+        self.tabu_entity_rate = float(tabu_entity_rate)
+        self.compare_to_global = bool(compare_to_global)
+        self.mutation_rate_multiplier = mutation_rate_multiplier
+        self.move_probas = move_probas
+        self.migration_frequency = int(migration_frequency)
+        self.termination_strategy = termination_strategy
+        # local-search agents force population 1 / migration_rate 1.0
+        # (`tabu_search.rs:68-71`)
+        self.population_size = 1
+        self.migration_rate = 1.0
+
+    def build_kernel(self, requester, score_precision=None):
+        vm = requester.variables_manager
+        cfg = moves.MoverConfig(vm, self.tabu_entity_rate,
+                                self.mutation_rate_multiplier, self.move_probas)
+        score_fn = base.make_score_fn(requester, score_precision)
+        n = self.neighbours_count
+
+        def init_state(key):
+            population = vm.sample_variables(key, 1)
+            scores = score_fn(population)
+            state = base.base_state(population, scores)
+            state["tabu"] = cfg.init_tabu_state()
+            return state
+
+        def step(key, state, extras):
+            k_move, k_tabu = jax.random.split(key)
+            current = state["population"][0]
+            neighbours = jnp.broadcast_to(current, (n, current.shape[0]))
+            moved, info = moves.move_population(k_move, neighbours, vm, cfg,
+                                                state["tabu"])
+            moved = vm.fix_all(moved)
+            scores = score_fn(moved)
+            best = lexico.lex_argmin(scores)
+            accept = lexico.lex_leq(scores[best], state["scores"][0])
+            state = dict(state)
+            state["population"] = jnp.where(accept, moved[best][None, :],
+                                            state["population"])
+            state["scores"] = jnp.where(accept, scores[best][None, :],
+                                        state["scores"])
+            if cfg.use_tabu:
+                state["tabu"] = moves.update_tabu_from_info(state["tabu"], info, best)
+            state = base.update_top(state)
+            state["step_id"] = state["step_id"] + 1
+            return state
+
+        return base.MetaheuristicKernel(self, init_state, step)

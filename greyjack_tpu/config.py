@@ -1,0 +1,31 @@
+"""Global dtype / size configuration for greyjack_tpu.
+
+The reference solver does all chromosome and score math in f64
+(`greyjack/src/agents/base/individual.rs:7-12`). On TPU, f64 is emulated but
+correct; score parity with the reference requires it, so f64 is the default
+for the score path. The move/sampling path also uses f64 so that discrete
+values (integers up to bounds) are represented exactly.
+"""
+
+import jax.numpy as jnp
+
+# dtype of chromosomes and score rows (f64 for reference parity)
+FLOAT_DTYPE = jnp.float64
+# dtype of integer columns handed to constraint kernels
+INT_DTYPE = jnp.int64
+# dtype used for indices inside kernels
+INDEX_DTYPE = jnp.int32
+
+# Maximum number of variables a single move may touch (`change`/`swap`/
+# `swap_edges` moves). The reference draws a Binomial(n_vars, group_rate)
+# change count (`mover.rs:130-143`); with the default mutation_rate_multiplier
+# of 0.0/1.0 the count is almost always <= 2-3, so a static cap of 8 loses
+# ~nothing while keeping device shapes static.
+MAX_MOVE_SIZE = 8
+
+# scramble windows are U{3..6} in the reference (`mover.rs:287`)
+SCRAMBLE_MIN = 3
+SCRAMBLE_MAX = 6
+
+# Static cap on the per-group tabu ring buffer length.
+MAX_TABU_SIZE = 128

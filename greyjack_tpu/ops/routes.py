@@ -1,0 +1,152 @@
+"""Route-walk kernels for tour/route scoring (TSP/VRP family).
+
+The reference walks routes with sequential per-sample Rust loops over Polars
+partitions (`examples/tsp/src/score/plain_score_calculator.rs:62-87`,
+`examples/vrp/src/score/incremental_score_calculator.rs:95-137`). Here a
+walk is a single `lax.scan` with a vmapped (population-wide) carry: the scan
+length is the number of stops, every scan step is a full-population vector
+op, and all distance-matrix lookups are hoisted into one batched gather
+before the scan.
+
+Floating-point parity: the reference computes each route's distance as
+``(depot_leg + return_leg) + fold(0.0, chain_legs)`` with the chain folded
+left-to-right, then folds the per-vehicle totals in ascending vehicle-id
+order. These kernels reproduce that exact f64 summation order (BASELINE
+bit-identical score requirement). Time-window arithmetic is integer-valued,
+hence order-independent.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _seq_sum(values, init=None):
+    """Left-to-right sequential f64 fold, reproducing Rust `fold(0.0, +)`."""
+    if init is None:
+        init = jnp.zeros((), values.dtype)
+
+    def body(acc, x):
+        return acc + x, None
+
+    total, _ = jax.lax.scan(body, init, values)
+    return total
+
+
+def tour_distance(stops, distance_matrix, depot=0):
+    """Closed-tour distance in the reference's exact summation order.
+
+    stops: int[N] location ids; distance_matrix: f64[L, L].
+    Order (tsp `plain_score_calculator.rs:73-76`):
+        (dm[depot, s0] + dm[s_last, depot]) + fold(0.0, chain_legs)
+    """
+    legs = distance_matrix[stops[:-1], stops[1:]]
+    ends = distance_matrix[depot, stops[0]] + distance_matrix[stops[-1], depot]
+    return ends + _seq_sum(legs)
+
+
+def sort_stops_by_vehicle(vehicle_ids, num_vehicles=None):
+    """Stable sort of stop positions by vehicle id.
+
+    Replaces the common_df sort (sample_id, vehicle_id, index) of the VRP
+    prescoring join (`vrp/score/plain_score_calculator.rs:39-45`). Returns
+    (sorted_vehicle_ids, perm) with perm[i] = original stop position.
+    """
+    n = vehicle_ids.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_v, perm = jax.lax.sort((vehicle_ids, idx), num_keys=1, is_stable=True)
+    return sorted_v, perm
+
+
+def vrp_routes(
+    sorted_vehicle_ids,
+    sorted_customer_ids,
+    distance_matrix,
+    vehicle_depot_ids,
+    num_vehicles,
+    work_day_start=None,
+    work_day_end=None,
+    tw_start=None,
+    tw_end=None,
+    service_time=None,
+):
+    """Distance + (optional) time-window lateness for all routes at once.
+
+    Inputs: stop list stably sorted by vehicle id (`sort_stops_by_vehicle`).
+    Returns (sum_distance, sum_time_penalty) f64 scalars. Semantics follow
+    the reference's fused all-in-one constraint
+    (`vrp/score/incremental_score_calculator.rs:95-137`): arrival clamped up
+    to the window start, late when `arrival + service > window_end` by
+    `arrival + service - window_end`, overtime past work_day_end at route
+    end. Empty vehicles contribute zero.
+    """
+    v = sorted_vehicle_ids
+    s = sorted_customer_ids
+    n = s.shape[0]
+    dm = distance_matrix
+
+    is_first = jnp.concatenate([jnp.array([True]), v[1:] != v[:-1]])
+    is_last = jnp.concatenate([v[:-1] != v[1:], jnp.array([True])])
+
+    oob = jnp.asarray(num_vehicles, v.dtype)
+    first_customer = (
+        jnp.zeros((num_vehicles,), s.dtype)
+        .at[jnp.where(is_first, v, oob)]
+        .set(s, mode="drop")
+    )
+    last_customer = (
+        jnp.zeros((num_vehicles,), s.dtype)
+        .at[jnp.where(is_last, v, oob)]
+        .set(s, mode="drop")
+    )
+    has_stops = (
+        jnp.zeros((num_vehicles,), bool)
+        .at[v]
+        .set(True, mode="drop")
+    )
+
+    # chain legs within a vehicle; 0 at each vehicle's first stop
+    chain_leg = jnp.concatenate(
+        [jnp.zeros((1,), dm.dtype), jnp.where(is_first[1:], 0.0, dm[s[:-1], s[1:]])]
+    )
+
+    if tw_start is not None:
+        c_start = tw_start[s].astype(jnp.int64)
+        c_end = tw_end[s].astype(jnp.int64)
+        c_service = service_time[s].astype(jnp.int64)
+        wds = work_day_start[v].astype(jnp.int64)
+        wde = work_day_end[v].astype(jnp.int64)
+    else:
+        z = jnp.zeros((n,), dtype=jnp.int64)
+        c_start = c_end = c_service = wds = wde = z
+
+    def body(carry, x):
+        chain_acc, arrival = carry
+        first, last, leg, cs, ce, ct, w0, w1 = x
+        chain_acc = jnp.where(first, leg * 0.0, chain_acc + leg)
+        arrival = jnp.where(first, w0, arrival)
+        arrival = jnp.maximum(arrival, cs)
+        late = jnp.maximum(arrival + ct - ce, 0)
+        arrival = arrival + ct
+        overtime = jnp.where(last, jnp.maximum(arrival - w1, 0), 0)
+        return (chain_acc, arrival), (chain_acc, late + overtime)
+
+    xs = (is_first, is_last, chain_leg, c_start, c_end, c_service, wds, wde)
+    init = (jnp.zeros((), dm.dtype), jnp.zeros((), jnp.int64))
+    _, (chain_at, penalty_at) = jax.lax.scan(body, init, xs)
+
+    chain_sum_v = (
+        jnp.zeros((num_vehicles,), dm.dtype)
+        .at[jnp.where(is_last, v, oob)]
+        .set(chain_at, mode="drop")
+    )
+    ends_v = (
+        dm[vehicle_depot_ids, first_customer]
+        + dm[last_customer, vehicle_depot_ids]
+    )
+    vehicle_dist = jnp.where(has_stops, ends_v + chain_sum_v, 0.0)
+
+    # vehicles folded in ascending id order from 0.0 (parity order,
+    # `incremental_score_calculator.rs:132`)
+    sum_distance = _seq_sum(vehicle_dist)
+    sum_time_penalty = jnp.sum(penalty_at).astype(jnp.float64)
+    return sum_distance, sum_time_penalty

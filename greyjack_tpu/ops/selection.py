@@ -1,0 +1,98 @@
+"""Random selection kernels: distinct-id sampling with tabu avoidance.
+
+The reference's `Mover::select_non_tabu_ids` (`greyjack/src/agents/
+metaheuristic_bases/mover.rs:75-96`) rejection-samples ids not in a
+per-semantic-group FIFO set, mutating the FIFO as it goes. Sequential
+rejection + mutation does not vectorize; the TPU equivalent is Gumbel top-k:
+every valid position gets an i.i.d. Gumbel score, tabu positions get a large
+penalty, and the top-k positions are the selection — distinct by
+construction, tabu-avoiding unless the group is nearly exhausted (the
+penalty is finite, mirroring the reference's behavior of always finding
+*some* selection). The FIFO becomes a functional ring buffer updated once
+per step (documented relaxation, SURVEY.md §7.3).
+"""
+
+import jax
+import jax.numpy as jnp
+
+TABU_PENALTY = 1.0e9
+
+
+def gumbel_topk_positions(key, limit, k_max, tabu_mask=None, max_len=None):
+    """Select up to `k_max` distinct positions uniformly from [0, limit).
+
+    limit: traced int (positions >= limit masked out with -inf).
+    tabu_mask: optional bool[max_len], True = recently used (penalized).
+    Returns int32[k_max] positions, ordered by descending preference;
+    callers activate the first `count` of them.
+    """
+    g = jax.random.gumbel(key, (max_len,), dtype=jnp.float32)
+    pos = jnp.arange(max_len, dtype=jnp.int32)
+    valid = pos < limit
+    score = jnp.where(valid, g, -jnp.inf)
+    if tabu_mask is not None:
+        score = score - jnp.where(tabu_mask & valid, TABU_PENALTY, 0.0)
+    k_eff = min(k_max, max_len)
+    _, top = jax.lax.top_k(score, k_eff)
+    top = top.astype(jnp.int32)
+    if k_eff < k_max:
+        # group smaller than the move-size cap: cycle the selection (callers
+        # mask by `count`, which can't exceed the group length anyway)
+        reps = -(-k_max // k_eff)
+        top = jnp.tile(top, reps)[:k_max]
+    return top
+
+
+def make_tabu_state(n_groups, capacity):
+    """Functional ring buffer per semantic group: recently-touched positions."""
+    return {
+        "ring": jnp.full((n_groups, capacity), -1, dtype=jnp.int32),
+        "cursor": jnp.zeros((n_groups,), dtype=jnp.int32),
+    }
+
+
+def tabu_mask_for_group(tabu_state, group_idx, tabu_sizes, max_len):
+    """bool[max_len]: positions currently tabu for this group.
+
+    `tabu_sizes[g]` = ceil(tabu_entity_rate * group_len) (reference
+    `tabu_search_base.rs:91`); only the most recent `tabu_sizes[g]` ring
+    entries count.
+    """
+    ring = tabu_state["ring"][group_idx]
+    cursor = tabu_state["cursor"][group_idx]
+    cap = ring.shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    # age 0 = most recently written slot
+    age = (cursor - 1 - slot) % cap
+    recent = age < tabu_sizes[group_idx]
+    entries = jnp.where(recent & (ring >= 0), ring, max_len)
+    mask = jnp.zeros((max_len + 1,), dtype=bool).at[entries].set(True)
+    return mask[:max_len]
+
+
+def tabu_push(tabu_state, group_idx, positions, count):
+    """Push `positions[:count]` into the group's ring (oldest evicted)."""
+    ring = tabu_state["ring"]
+    cursor = tabu_state["cursor"]
+    cap = ring.shape[1]
+    k_max = positions.shape[0]
+    i = jnp.arange(k_max, dtype=jnp.int32)
+    slots = (cursor[group_idx] + i) % cap
+    slots = jnp.where(i < count, slots, cap)  # drop beyond-count writes
+    new_row = ring[group_idx].at[slots].set(positions, mode="drop")
+    ring = ring.at[group_idx].set(new_row)
+    cursor = cursor.at[group_idx].set((cursor[group_idx] + count) % cap)
+    return {"ring": ring, "cursor": cursor}
+
+
+def random_permutation_positions(key, k_max, count):
+    """Random permutation of [0, count) padded with identity up to k_max.
+
+    Used by the scramble move: positions >= count map to themselves.
+    """
+    g = jax.random.gumbel(key, (k_max,), dtype=jnp.float32)
+    i = jnp.arange(k_max, dtype=jnp.int32)
+    score = jnp.where(i < count, g, -jnp.inf - i.astype(jnp.float32))
+    _, perm = jax.lax.top_k(score, k_max)
+    perm = perm.astype(jnp.int32)
+    return jnp.where(i < count, perm, i)

@@ -1,0 +1,122 @@
+"""Variable schema compiler: descriptor list -> dense device arrays.
+
+Reference `VariablesManager` (`greyjack/src/score_calculation/score_requesters/
+variables_manager.rs:12-224`) owns the flat variable vector, bounds,
+discrete ids and semantic groups. The TPU redesign compiles all of that into
+fixed-shape arrays once; sampling / fixing / inverse transforms are then
+whole-population vector ops inside jit.
+
+Semantic groups become a padded id table `group_members[G, Lmax]` +
+`group_sizes[G]` (reference: HashMap name -> Vec<usize> skipping frozen
+vars, `variables_manager.rs:76-106`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from greyjack_tpu import config
+from greyjack_tpu.utils.math_utils import rint_jnp
+
+
+class VariablesManager:
+    def __init__(self, variables):
+        self.variables = list(variables)
+        v = len(self.variables)
+        self.variables_count = v
+
+        lower = np.empty(v, dtype=np.float64)
+        upper = np.empty(v, dtype=np.float64)
+        discrete = np.zeros(v, dtype=bool)
+        frozen = np.zeros(v, dtype=bool)
+        has_initial = np.zeros(v, dtype=bool)
+        initial = np.zeros(v, dtype=np.float64)
+
+        for i, var in enumerate(self.variables):
+            lower[i] = var.lower_bound
+            upper[i] = var.upper_bound
+            discrete[i] = var.is_discrete
+            frozen[i] = var.frozen
+            if var.initial_value is not None:
+                has_initial[i] = True
+                initial[i] = var.initial_value
+
+        self.lower_bounds = jnp.asarray(lower)
+        self.upper_bounds = jnp.asarray(upper)
+        self.discrete_mask = jnp.asarray(discrete)
+        self.frozen_mask = jnp.asarray(frozen)
+        self.has_initial_mask = jnp.asarray(has_initial)
+        self.initial_values = jnp.asarray(initial)
+        self.discrete_ids = np.nonzero(discrete)[0].tolist() or None
+
+        # --- semantic groups (insertion order; frozen vars excluded) ------
+        groups: dict[str, list] = {}
+        for i, var in enumerate(self.variables):
+            for group_name in var.semantic_groups:
+                groups.setdefault(group_name, [])
+                if not var.frozen:
+                    groups[group_name].append(i)
+        self.semantic_groups_map = groups
+        self.semantic_group_keys = list(groups.keys())
+        self.n_semantic_groups = len(groups)
+
+        sizes = np.array([len(ids) for ids in groups.values()], dtype=np.int32)
+        lmax = max(1, int(sizes.max()) if len(sizes) else 1)
+        members = np.zeros((max(1, len(groups)), lmax), dtype=np.int32)
+        for g, ids in enumerate(groups.values()):
+            members[g, : len(ids)] = ids
+        # numpy copy kept for host-side consumers (device reads are slow on
+        # tunneled backends)
+        self.group_sizes_np = sizes if len(sizes) else np.zeros(1, np.int32)
+        self.group_sizes = jnp.asarray(self.group_sizes_np)
+        self.group_members = jnp.asarray(members)
+        self.max_group_size = lmax
+
+    # --- device ops --------------------------------------------------------
+    def sample_variables(self, key, n_samples):
+        """Initial population f64[n_samples, V]: initial value when declared,
+        else uniform (integers inclusive) — reference
+        `variables_manager.rs:119-134` + `gj_integer.rs:85-110`."""
+        u = jax.random.uniform(key, (n_samples, self.variables_count),
+                               dtype=config.FLOAT_DTYPE)
+        span = self.upper_bounds - self.lower_bounds
+        cont = self.lower_bounds + u * span
+        disc = jnp.floor(self.lower_bounds + u * (span + 1.0))
+        disc = jnp.minimum(disc, self.upper_bounds)
+        sampled = jnp.where(self.discrete_mask, disc, cont)
+        return jnp.where(self.has_initial_mask, self.initial_values, sampled)
+
+    def random_column_values(self, key, shape=()):
+        """U[lower, upper) per variable (even for discrete vars — the
+        reference's `get_column_random_value`, `variables_manager.rs:115-117`;
+        the follow-up `fix` rints)."""
+        u = jax.random.uniform(key, shape + (self.variables_count,),
+                               dtype=config.FLOAT_DTYPE)
+        return self.lower_bounds + u * (self.upper_bounds - self.lower_bounds)
+
+    def fix_all(self, values):
+        """Vectorized `fix_variables` over every column: clamp to bounds,
+        rint for discrete, pin frozen to the initial value
+        (`gj_integer.rs:70-83`). Idempotent, so applying it to all columns is
+        equivalent to the reference's changed-columns-only fixing."""
+        fixed = jnp.clip(values, self.lower_bounds, self.upper_bounds)
+        fixed = jnp.where(self.discrete_mask, rint_jnp(fixed), fixed)
+        return jnp.where(self.frozen_mask, self.initial_values, fixed)
+
+    def inverse_transform_float(self, values):
+        """fix() without integer cast — used to build typed frames."""
+        return self.fix_all(values)
+
+    # --- host helpers -------------------------------------------------------
+    def get_variables_names_vec(self):
+        return [var.name for var in self.variables]
+
+    def inverse_transform_variables(self, values_row):
+        """Host-side typed solution values for JSON round-trip
+        (`variables_manager.rs:136-152`)."""
+        out = []
+        for var, x in zip(self.variables, np.asarray(values_row)):
+            out.append(var.inverse_transform(float(x)))
+        return out

@@ -1,0 +1,6 @@
+from greyjack_tpu.solver.solver import Solver
+from greyjack_tpu.solver.solver_logging_levels import SolverLoggingLevels
+from greyjack_tpu.solver.observer import Observer
+from greyjack_tpu.solver.initial_solution import InitialSolution
+
+__all__ = ["Solver", "SolverLoggingLevels", "Observer", "InitialSolution"]

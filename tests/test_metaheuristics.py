@@ -1,0 +1,84 @@
+"""Per-metaheuristic smoke + behavior tests: LateAcceptance, SimulatedAnnealing,
+LSHADE, GeneticAlgorithm all make progress on their home workloads."""
+
+import numpy as np
+
+from greyjack_tpu.models.nqueens import DomainBuilder as NQDomain
+from greyjack_tpu.models.nqueens import CotwinBuilder as NQCotwin
+from greyjack_tpu.models.mixedint import DomainBuilder as MIDomain
+from greyjack_tpu.models.mixedint import CotwinBuilder as MICotwin
+from greyjack_tpu.agents import (
+    LateAcceptance,
+    SimulatedAnnealing,
+    LSHADE,
+    GeneticAlgorithm,
+)
+from greyjack_tpu.agents.termination_strategies import StepsLimit, ScoreLimit
+from greyjack_tpu.score_calculation.scores import SimpleScore
+from greyjack_tpu.solver import Solver, SolverLoggingLevels
+
+SWAP_ONLY = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def _initial_conflicts(n=12, seed=45):
+    return NQDomain(n, seed).build_domain_from_scratch().conflict_count()
+
+
+def test_late_acceptance_improves():
+    db = NQDomain(12, 45)
+    agent = LateAcceptance(16, 0.2, None, SWAP_ONLY, 10, StepsLimit(200))
+    sol = Solver.solve(db, NQCotwin(True), agent, n_jobs=2,
+                       logging_level=SolverLoggingLevels.Silent, seed=2)
+    assert sol[1]["simple_value"] < _initial_conflicts()
+
+
+def test_simulated_annealing_with_cooling():
+    db = NQDomain(12, 45)
+    agent = SimulatedAnnealing([1.0], 0.999, 0.0, None, SWAP_ONLY, 10,
+                               StepsLimit(200))
+    sol = Solver.solve(db, NQCotwin(True), agent, n_jobs=2,
+                       logging_level=SolverLoggingLevels.Silent, seed=8)
+    assert sol[1]["simple_value"] < _initial_conflicts()
+
+
+def test_simulated_annealing_auto_temperature():
+    # cooling_rate=None -> temperature injected from the termination
+    # strategy's accomplish rate (`agent_base.rs:537-552`)
+    db = NQDomain(10, 45)
+    agent = SimulatedAnnealing([1.0], None, 0.0, None, SWAP_ONLY, 5,
+                               StepsLimit(60))
+    sol = Solver.solve(db, NQCotwin(True), agent, n_jobs=2,
+                       logging_level=SolverLoggingLevels.Silent, seed=9)
+    assert sol[1]["simple_value"] <= _initial_conflicts(10)
+
+
+def test_lshade_on_continuous():
+    db = MIDomain(8, 0, -5.12, 5.12, "sphere")
+    agent = LSHADE(24, 32, 0.2, 0.0, 0, 0.5, 0.5, 0.5, 0.0, None, None,
+                   0.25, 10, StepsLimit(80))
+    sol = Solver.solve(db, MICotwin(), agent, n_jobs=2,
+                       logging_level=SolverLoggingLevels.Silent, seed=4)
+    # random sphere values in [-5.12, 5.12]^8 average ~8*8.7=70;
+    # LSHADE should get close to 0
+    assert sol[1]["simple_value"] < 10.0
+
+
+def test_lshade_on_mixed_integer():
+    db = MIDomain(4, 4, -5.12, 5.12, "sphere")
+    agent = LSHADE(16, 32, 0.2, 0.1, 1, 0.5, 0.5, 0.5, 0.0, None, None,
+                   0.25, 10, StepsLimit(60))
+    sol = Solver.solve(db, MICotwin(), agent, n_jobs=2,
+                       logging_level=SolverLoggingLevels.Silent, seed=14)
+    values = [v for _n, v in sol[0]]
+    # integer slots must come back as ints
+    assert all(float(v) == int(v) for v in values[4:])
+    assert sol[1]["simple_value"] < 40.0
+
+
+def test_ga_on_mixed_integer():
+    db = MIDomain(3, 3, -5.12, 5.12, "rastrigin")
+    agent = GeneticAlgorithm(32, 0.8, 0.2, 0.0, 1.0, None, 0.1, 10,
+                             StepsLimit(60))
+    sol = Solver.solve(db, MICotwin(), agent, n_jobs=2,
+                       logging_level=SolverLoggingLevels.Silent, seed=21)
+    assert sol[1]["simple_value"] < 60.0

@@ -1,0 +1,101 @@
+"""Move-kernel property tests (SURVEY.md §4(b)): permutation moves preserve
+the value multiset, change moves stay in bounds, frozen variables are never
+touched, and each move family actually fires."""
+
+import jax
+import numpy as np
+
+from greyjack_tpu.variables import GJInteger, GJFloat
+from greyjack_tpu.score_calculation.score_requesters import VariablesManager
+from greyjack_tpu.ops import moves
+
+
+def _vm(n=16):
+    return VariablesManager([GJInteger(i, 0, n - 1) for i in range(n)])
+
+
+def _pop(vm, p=32, seed=0):
+    return vm.sample_variables(jax.random.key(seed), p)
+
+
+def _run_move(move_idx, vm, pop, seed=1, tabu_rate=0.0):
+    probas = [0.0] * 6
+    probas[move_idx] = 1.0
+    cfg = moves.MoverConfig(vm, tabu_rate, None, probas)
+    ts = cfg.init_tabu_state()
+    new, info = moves.move_population(jax.random.key(seed), pop, vm, cfg, ts)
+    return np.asarray(new), info
+
+
+PERMUTATION_MOVES = [1, 2, 3, 4, 5]  # swap, swap_edges, scramble, insertion, inverse
+
+
+def test_permutation_moves_preserve_multiset():
+    vm = _vm()
+    pop = _pop(vm)
+    for m in PERMUTATION_MOVES:
+        new, _ = _run_move(m, vm, pop, seed=m + 10)
+        old = np.asarray(pop)
+        for i in range(old.shape[0]):
+            assert sorted(new[i]) == sorted(old[i]), f"move {m}, candidate {i}"
+
+
+def test_moves_change_something():
+    vm = _vm()
+    pop = _pop(vm)
+    for m in range(6):
+        new, _ = _run_move(m, vm, pop, seed=m + 20)
+        assert (new != np.asarray(pop)).any(), f"move {m} was a global no-op"
+
+
+def test_change_move_in_bounds():
+    vm = _vm()
+    pop = _pop(vm)
+    new, _ = _run_move(0, vm, pop, seed=3)
+    assert (new >= 0).all() and (new <= 15).all()
+    # change resamples: values need not be a permutation but must be ints
+    # after fix
+    fixed = np.asarray(vm.fix_all(new))
+    assert (fixed == np.round(fixed)).all()
+
+
+def test_frozen_variables_never_move():
+    n = 12
+    vs = [GJInteger(i, 0, n - 1, frozen=(i % 3 == 0)) for i in range(n)]
+    vm = VariablesManager(vs)
+    pop = vm.sample_variables(jax.random.key(5), 64)
+    frozen_cols = [i for i in range(n) if i % 3 == 0]
+    for m in range(6):
+        new, _ = _run_move(m, vm, pop, seed=m)
+        new = np.asarray(vm.fix_all(new))
+        for c in frozen_cols:
+            assert (new[:, c] == float(c)).all(), f"move {m} touched frozen col {c}"
+
+
+def test_tabu_state_updates():
+    vm = _vm()
+    pop = _pop(vm, p=8)
+    cfg = moves.MoverConfig(vm, 0.5, None, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    ts = cfg.init_tabu_state()
+    _, info = moves.move_population(jax.random.key(9), pop, vm, cfg, ts)
+    ts2 = moves.update_tabu_from_info(ts, info, 0)
+    assert int(ts2["cursor"][int(info["group"][0])]) > 0
+
+
+def test_multi_group_moves_stay_within_group():
+    # two semantic groups over disjoint variable ranges: a move must only
+    # touch one group's slots
+    vs = [GJInteger(i, 0, 9, semantic_groups=["g1"]) for i in range(8)] + [
+        GJInteger(i, 0, 9, semantic_groups=["g2"]) for i in range(8)
+    ]
+    vm = VariablesManager(vs)
+    pop = vm.sample_variables(jax.random.key(11), 32)
+    for m in PERMUTATION_MOVES:
+        new, info = _run_move(m, vm, pop, seed=40 + m)
+        old = np.asarray(pop)
+        for i in range(32):
+            touched = np.nonzero(new[i] != old[i])[0]
+            if len(touched):
+                assert (touched < 8).all() or (touched >= 8).all(), (
+                    f"move {m} crossed groups: {touched}"
+                )
