@@ -118,7 +118,27 @@ class DomainBuilder:
 def read_tsp_file(path):
     """TSPLIB parser (reference `read_tsp_file`, `domain_builder.rs:92-213`):
     metadata until NODE_COORD_SECTION, whitespace-split coordinate rows until
-    EOF, optional explicit distance matrix for non-EUC_2D types."""
+    EOF, optional explicit distance matrix for non-EUC_2D types.
+
+    Uses the native C++ tokenizer (`native/gjio.cpp`) when available; the
+    pure-Python scanner below is the fallback (and keeps any name column,
+    which the native fast path drops in favor of ids)."""
+    from greyjack_tpu.native import parse_instance
+
+    native = parse_instance(path)
+    if native is not None and len(native["ids"]):
+        metadata = {
+            "dataset_name": native["name"] or "tsp",
+            "distance_type": native["edge_weight_type"] or "EUC_2D",
+        }
+        locations = [
+            Location(int(i), x, y)
+            for i, x, y in zip(native["ids"], native["xs"], native["ys"])
+        ]
+        matrix = None
+        if "EUC_2D" not in metadata["distance_type"] and native["matrix"] is not None:
+            matrix = native["matrix"]
+        return metadata, locations, matrix
     metadata = {}
     locations = []
     matrix_rows = []

@@ -190,6 +190,26 @@ def read_vrp_file(path):
     metadata (vehicle count parsed from the NAME's `-kNN` suffix, CAPACITY),
     NODE_COORD_SECTION rows, DEMAND_SECTION rows (id demand [tw_start tw_end
     service]), DEPOT_SECTION ids."""
+    from greyjack_tpu.native import parse_instance
+
+    native = parse_instance(path)
+    if native is not None and len(native["ids"]) and len(native["depot_ids"]):
+        demand = native["demand_rows"]
+        time_windowed = demand.shape[1] == 5
+        customers = []
+        for vec_id in range(len(native["ids"])):
+            cid = int(native["ids"][vec_id])
+            d = demand[vec_id]
+            assert int(d[0]) == cid, "Invalid customer to demand mapping"
+            tw = (int(d[2]), int(d[3]), int(d[4])) if time_windowed else (0, 0, 0)
+            customers.append(Customer(
+                cid, vec_id, float(native["xs"][vec_id]),
+                float(native["ys"][vec_id]), None, int(d[1]), *tw))
+        return _build_plan(native["name"] or "vrp", customers,
+                           len(native["depot_ids"]),
+                           int(native["vehicles_count"]),
+                           int(native["capacity"]), time_windowed)
+
     metadata = {}
     coord_rows = []
     demand_rows = []
