@@ -63,15 +63,20 @@ def no_duplicating_stops_constraint(planning, facts, utils):
 
 def minimize_distance(planning, facts, utils):
     stops = planning["path_stops"]["locations_vec_id"]
-    soft = routes.tour_distance(stops, utils["distance_matrix"], depot=0)
+    if utils["exact_fp_scores"]:
+        soft = routes.tour_distance(stops, utils["distance_matrix"], depot=0)
+    else:
+        soft = routes.tour_distance_fast(stops, utils["distance_matrix_milli"],
+                                         depot=0)
     return (jnp.zeros((), jnp.float64), soft)
 
 
 class CotwinBuilder(CotwinBuilderBase):
     def __init__(self, use_incremental_score_calculation=True,
-                 use_greed_init=True):
+                 use_greed_init=True, exact_fp_scores=False):
         self.use_incremental_score_calculation = use_incremental_score_calculation
         self.use_greed_init = use_greed_init
+        self.exact_fp_scores = exact_fp_scores
 
     def build_cotwin(self, domain, is_already_initialized):
         n_locations = len(domain.locations_vec)
@@ -104,6 +109,10 @@ class CotwinBuilder(CotwinBuilderBase):
         )
         calculator = calc_cls(HardSoftScore)
         calculator.add_utility_object("distance_matrix", domain.distance_matrix)
+        calculator.add_utility_object(
+            "distance_matrix_milli",
+            routes.distance_matrix_to_milli(domain.distance_matrix))
+        calculator.add_utility_object("exact_fp_scores", self.exact_fp_scores)
         calculator.add_utility_object("n_locations", n_locations)
         calculator.add_constraint("no_duplicating_stops_constraint",
                                   no_duplicating_stops_constraint)

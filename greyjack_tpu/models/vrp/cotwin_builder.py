@@ -76,27 +76,33 @@ class CotVehicle:
 # --- constraints ------------------------------------------------------------
 
 def build_common(planning, facts, utils):
-    """Prescoring: sort stops by vehicle + one fused route scan
+    """Prescoring: sort stops by vehicle + one fused route walk
     (the reference's common_df build, plus the route walks both distance and
-    lateness constraints share)."""
+    lateness constraints share). Uses the log-depth integer-exact kernel by
+    default; `exact_fp_scores` switches to the sequential-order kernel that
+    reproduces the reference's f64 fold bit-for-bit."""
     stops = planning["planning_stops"]
     v = stops["vehicle_id"]
     c = stops["customer_id"]
     sorted_v, perm = routes.sort_stops_by_vehicle(v)
     sorted_c = c[perm]
+    tw = {}
     if utils["time_windowed"]:
-        dist, lateness = routes.vrp_routes(
-            sorted_v, sorted_c, utils["distance_matrix"],
-            utils["vehicle_depot_ids"], utils["k_vehicles"],
+        tw = dict(
             work_day_start=utils["work_day_start"],
             work_day_end=utils["work_day_end"],
             tw_start=utils["tw_start"], tw_end=utils["tw_end"],
             service_time=utils["service_time"],
         )
-    else:
+    if utils["exact_fp_scores"]:
         dist, lateness = routes.vrp_routes(
             sorted_v, sorted_c, utils["distance_matrix"],
-            utils["vehicle_depot_ids"], utils["k_vehicles"],
+            utils["vehicle_depot_ids"], utils["k_vehicles"], **tw,
+        )
+    else:
+        dist, lateness = routes.vrp_routes_fast(
+            sorted_v, sorted_c, utils["distance_matrix_milli"],
+            utils["vehicle_depot_ids"], utils["k_vehicles"], **tw,
         )
     return {"route_distance": dist, "route_lateness": lateness}
 
@@ -168,9 +174,10 @@ def greedy_init(dm, demands, capacities, depot_ids, n_depots):
 
 class CotwinBuilder(CotwinBuilderBase):
     def __init__(self, use_incremental_score_calculation=True,
-                 use_greed_init=True):
+                 use_greed_init=True, exact_fp_scores=False):
         self.use_incremental_score_calculation = use_incremental_score_calculation
         self.use_greed_init = use_greed_init
+        self.exact_fp_scores = exact_fp_scores
 
     def _initial_ids(self, domain, is_already_initialized):
         n_depots = len(domain.depot_vec)
@@ -251,6 +258,10 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator = calc_cls(HardMediumSoftScore)
         cust = domain.customers_vec
         calculator.add_utility_object("distance_matrix", domain.distance_matrix)
+        calculator.add_utility_object(
+            "distance_matrix_milli",
+            routes.distance_matrix_to_milli(domain.distance_matrix))
+        calculator.add_utility_object("exact_fp_scores", self.exact_fp_scores)
         calculator.add_utility_object("n_locations", n_locations)
         calculator.add_utility_object("k_vehicles", k)
         calculator.add_utility_object("time_windowed", domain.time_windowed)

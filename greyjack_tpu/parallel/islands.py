@@ -56,8 +56,10 @@ class IslandRunner:
 
     # --- init ---------------------------------------------------------------
     def init(self, key):
+        # jitted: eager execution would compile every primitive separately,
+        # which is prohibitive on remote-compile backends (axon tunnel)
         keys = jax.random.split(key, self.n_islands)
-        islands = jax.vmap(self.kernel.init_state)(keys)
+        islands = jax.jit(jax.vmap(self.kernel.init_state))(keys)
         s = islands["scores"].shape[-1]
         v = islands["population"].shape[-1]
         state = {

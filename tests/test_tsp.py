@@ -32,7 +32,8 @@ def oracle_score(stops, dm):
 
 def test_score_parity_bit_identical(rng):
     domain = generate_uniform_instance(40, seed=3)
-    cot = CotwinBuilder(True, False).build_cotwin(domain, False)
+    cot = CotwinBuilder(True, False, exact_fp_scores=True).build_cotwin(
+        domain, False)
     req = ScoreRequester(cot)
     dm = np.asarray(domain.distance_matrix)
     pop = rng.integers(1, 40, size=(32, 39)).astype(np.float64)
@@ -43,6 +44,23 @@ def test_score_parity_bit_identical(rng):
         assert scores[i, 1] == soft, (
             f"soft mismatch sample {i}: {scores[i, 1]!r} vs {soft!r}"
         )
+
+
+def test_fast_mode_matches_exact_after_rounding(rng):
+    """The default (integer-milli) kernel equals the exact sequential kernel
+    to ~1e-12 relative (integer-milli total vs sequential f64 fold)."""
+    from greyjack_tpu.utils.math_utils import round_decimal
+
+    domain = generate_uniform_instance(40, seed=7)
+    pop = rng.integers(1, 40, size=(16, 39)).astype(np.float64)
+    exact = np.asarray(ScoreRequester(
+        CotwinBuilder(True, False, exact_fp_scores=True)
+        .build_cotwin(domain, False)).request_score_plain(pop))
+    fast = np.asarray(ScoreRequester(
+        CotwinBuilder(True, False, exact_fp_scores=False)
+        .build_cotwin(domain, False)).request_score_plain(pop))
+    np.testing.assert_array_equal(exact[:, 0], fast[:, 0])
+    np.testing.assert_allclose(exact[:, 1], fast[:, 1], rtol=1e-9, atol=1e-9)
 
 
 def test_greedy_tour_valid():

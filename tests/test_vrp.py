@@ -64,7 +64,8 @@ def oracle_score(vehicle_ids, customer_ids, domain):
 
 
 def _parity_check(domain, rng, n_samples=24):
-    cot = CotwinBuilder(True, False).build_cotwin(domain, False)
+    cot = CotwinBuilder(True, False, exact_fp_scores=True).build_cotwin(
+        domain, False)
     req = ScoreRequester(cot)
     n_depots = len(domain.depot_vec)
     n_locations = len(domain.customers_vec)
@@ -92,6 +93,33 @@ def test_score_parity_cvrp(rng):
 
 def test_score_parity_multidepot_timewindowed(rng):
     _parity_check(generate_instance(30, 3, 6, seed=4, time_windowed=True), rng)
+
+
+def test_fast_mode_matches_exact_after_rounding(rng):
+    from greyjack_tpu.utils.math_utils import round_decimal
+
+    domain = generate_instance(25, 2, 5, seed=13, time_windowed=True)
+    n_depots = len(domain.depot_vec)
+    n_locations = len(domain.customers_vec)
+    n_stops = n_locations - n_depots
+    k = len(domain.vehicles)
+    pop = np.zeros((16, 2 * n_stops))
+    pop[:, 0::2] = rng.integers(0, k, size=(16, n_stops))
+    pop[:, 1::2] = rng.integers(n_depots, n_locations, size=(16, n_stops))
+
+    exact = np.asarray(ScoreRequester(
+        CotwinBuilder(True, False, exact_fp_scores=True)
+        .build_cotwin(domain, False)).request_score_plain(pop))
+    fast = np.asarray(ScoreRequester(
+        CotwinBuilder(True, False, exact_fp_scores=False)
+        .build_cotwin(domain, False)).request_score_plain(pop))
+    # hard + medium are integer-exact in both kernels
+    np.testing.assert_array_equal(exact[:, 0], fast[:, 0])
+    np.testing.assert_array_equal(exact[:, 1], fast[:, 1])
+    # fast soft = exactly-rounded integer-milli total; the sequential f64
+    # fold drifts by ~1e-12 relative (truncating rounds may still straddle a
+    # 0.001 boundary in rare cases, so equality is asserted on the values)
+    np.testing.assert_allclose(exact[:, 2], fast[:, 2], rtol=1e-9, atol=1e-9)
 
 
 def test_greedy_init_feasible():
