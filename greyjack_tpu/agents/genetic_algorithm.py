@@ -86,7 +86,7 @@ class GeneticAlgorithm:
             parents_2 = population[p_best_ids(ks[1], half)]
             # single shared crossover weight per pair; rint'ed for discrete
             # genes (`cross`, `genetic_algorithm_base.rs:105-134`)
-            w = jax.random.uniform(ks[2], (half, 1), jnp.float64)
+            w = jax.random.uniform(ks[2], (half, 1), population.dtype)
             wg = jnp.where(discrete, rint_jnp(w), w)
             do_cross = (
                 jax.random.uniform(ks[3], (half, 1), jnp.float64) <= cross_proba

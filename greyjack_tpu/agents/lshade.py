@@ -81,7 +81,7 @@ class LSHADE:
             scores, population = lexico.lex_sort_scores_with(scores, population)
             state = base.base_state(population, scores)
             state["tabu"] = cfg.init_tabu_state()
-            state["archive"] = jnp.zeros((cap, v), jnp.float64)
+            state["archive"] = jnp.zeros((cap, v), population.dtype)
             state["arc_f"] = jnp.zeros((cap,), jnp.float64)
             state["arc_cr"] = jnp.zeros((cap,), jnp.float64)
             state["arc_ids"] = jnp.zeros((cap,), jnp.int32)
@@ -140,11 +140,15 @@ class LSHADE:
             x1 = united_row(r1)
             x2 = united_row(r2)
             x = population
-            cross_vec = x + f[:, None] * (p_best - x) + f[:, None] * (x1 - x2)
+            fb = f[:, None].astype(x.dtype)
+            cross_vec = x + fb * (p_best - x) + fb * (x1 - x2)
 
             # --- branch: binomial crossover / mover-move (`:274-322`)
             u_branch = jax.random.uniform(ks[8], (p, 2), jnp.float64)
-            mask = jax.random.uniform(ks[9], (p, v), jnp.float64) < cr[:, None]
+            mask = (
+                jax.random.uniform(ks[9], (p, v), jnp.float32)
+                < cr[:, None].astype(jnp.float32)
+            )
             binomial_child = jnp.where(mask, cross_vec, x)
             moved, _ = moves.move_population(ks[10], cross_vec, vm, cfg,
                                              state["tabu"])
@@ -155,7 +159,7 @@ class LSHADE:
             if g_size > 0:
                 kg1, kg2 = jax.random.split(ks[11])
                 cnt = jax.random.randint(kg1, (p,), 1, g_size + 1)
-                gsel = jax.random.uniform(kg2, (p, v), jnp.float64)
+                gsel = jax.random.uniform(kg2, (p, v), jnp.float32)
                 order = jnp.argsort(gsel, axis=1)
                 rank = jnp.argsort(order, axis=1)
                 force = rank < cnt[:, None]

@@ -9,10 +9,29 @@ values (integers up to bounds) are represented exactly.
 
 import jax.numpy as jnp
 
-# dtype of chromosomes and score rows (f64 for reference parity)
-FLOAT_DTYPE = jnp.float64
-# dtype of integer columns handed to constraint kernels
-INT_DTYPE = jnp.int64
+# dtype of chromosomes / move arithmetic. f32 by default: discrete variable
+# values are small integers (exact below 2^24) and f64 is software-emulated
+# on TPU (~10-50x slower elementwise). Score rows and distance totals are
+# always f64. Call `use_float64()` before building models for continuous
+# problems with huge ranges or when bit-level f64 chromosome arithmetic is
+# required (golden-parity tests feed f64 populations directly, which
+# promotes automatically).
+FLOAT_DTYPE = jnp.float32
+
+
+def use_float64():
+    global FLOAT_DTYPE
+    FLOAT_DTYPE = jnp.float64
+
+
+def use_float32():
+    global FLOAT_DTYPE
+    FLOAT_DTYPE = jnp.float32
+# dtype of integer columns handed to constraint kernels. int32: every id /
+# count / time value in cotwin problems is far below 2^31, and i64 is
+# emulated (2x cost) on TPU. Reductions that can overflow i32 (penalty sums)
+# widen locally.
+INT_DTYPE = jnp.int32
 # dtype used for indices inside kernels
 INDEX_DTYPE = jnp.int32
 

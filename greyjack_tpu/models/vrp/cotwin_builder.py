@@ -267,29 +267,29 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator.add_utility_object("time_windowed", domain.time_windowed)
         calculator.add_utility_object(
             "demand_by_vec_id",
-            jnp.asarray(np.array([c.demand for c in cust], np.int64)))
+            jnp.asarray(np.array([c.demand for c in cust], np.int32)))
         calculator.add_utility_object(
             "capacities",
-            jnp.asarray(np.array([v.capacity for v in domain.vehicles], np.int64)))
+            jnp.asarray(np.array([v.capacity for v in domain.vehicles], np.int32)))
         calculator.add_utility_object(
             "vehicle_depot_ids",
             jnp.asarray(np.array([v.depot_vec_id for v in domain.vehicles], np.int32)))
         if domain.time_windowed:
             calculator.add_utility_object(
                 "work_day_start",
-                jnp.asarray(np.array([v.work_day_start for v in domain.vehicles], np.int64)))
+                jnp.asarray(np.array([v.work_day_start for v in domain.vehicles], np.int32)))
             calculator.add_utility_object(
                 "work_day_end",
-                jnp.asarray(np.array([v.work_day_end for v in domain.vehicles], np.int64)))
+                jnp.asarray(np.array([v.work_day_end for v in domain.vehicles], np.int32)))
             calculator.add_utility_object(
                 "tw_start",
-                jnp.asarray(np.array([c.time_window_start for c in cust], np.int64)))
+                jnp.asarray(np.array([c.time_window_start for c in cust], np.int32)))
             calculator.add_utility_object(
                 "tw_end",
-                jnp.asarray(np.array([c.time_window_end for c in cust], np.int64)))
+                jnp.asarray(np.array([c.time_window_end for c in cust], np.int32)))
             calculator.add_utility_object(
                 "service_time",
-                jnp.asarray(np.array([c.service_time for c in cust], np.int64)))
+                jnp.asarray(np.array([c.service_time for c in cust], np.int32)))
 
         calculator.add_prescoring_function("build_common", build_common)
         calculator.add_constraint("no_duplicating_stops_constraint",

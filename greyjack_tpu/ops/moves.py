@@ -124,7 +124,8 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
 
     # Binomial(n_vars, rate) change count (`mover.rs:130-143`)
     c_raw = jnp.sum(
-        jax.random.uniform(k_count, (vm.variables_count,), dtype=jnp.float64) < rate
+        jax.random.uniform(k_count, (vm.variables_count,), dtype=jnp.float32)
+        < rate.astype(jnp.float32)
     ).astype(jnp.int32)
 
     # per-move-type effective counts / no-op flags
@@ -218,9 +219,9 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     member_ids = members
     src_ids = members[jnp.clip(src_pos, 0, lmax - 1)]
     moved_vals = candidate[src_ids]
-    u = jax.random.uniform(k_res, (lmax,), dtype=jnp.float64)
-    lo_b = vm.lower_bounds[member_ids]
-    hi_b = vm.upper_bounds[member_ids]
+    u = jax.random.uniform(k_res, (lmax,), dtype=candidate.dtype)
+    lo_b = vm.lower_bounds[member_ids].astype(candidate.dtype)
+    hi_b = vm.upper_bounds[member_ids].astype(candidate.dtype)
     random_vals = lo_b + u * (hi_b - lo_b)
     new_vals = jnp.where(resample, random_vals, moved_vals)
 

@@ -183,8 +183,12 @@ def _maxplus_scan(adds, floors):
 
     Hand-rolled Hillis–Steele doubling (log2(N) uniform full-width steps)
     instead of `lax.associative_scan`: the recursive odd-shape slicing the
-    latter generates compiles pathologically slowly on TPU for N ~ 1000."""
-    neg = jnp.int64(-1) << 61  # identity floor for the combine
+    latter generates compiles pathologically slowly on TPU for N ~ 1000.
+
+    Runs in i32 (i64 is emulated on TPU): the -2^30 "minus infinity" add is
+    re-clamped each round so repeated reset maps cannot underflow, and
+    2*neg = INT32_MIN is still representable."""
+    neg = jnp.asarray(-(1 << 30), adds.dtype)
     a, u = adds, floors
     n = a.shape[-1]
     d = 1
@@ -193,7 +197,7 @@ def _maxplus_scan(adds, floors):
         lu = jnp.concatenate(
             [jnp.full_like(u[..., :d], neg), u[..., :-d]], axis=-1
         )
-        a, u = la + a, jnp.maximum(lu + a, u)
+        a, u = jnp.maximum(la + a, neg), jnp.maximum(lu + a, u)
         d *= 2
     return jnp.maximum(a, u)
 
@@ -246,12 +250,14 @@ def vrp_routes_fast(
     if tw_start is None:
         return sum_distance, jnp.zeros((), jnp.float64)
 
-    big = jnp.int64(1) << 42
-    cs = tw_start[s].astype(jnp.int64)
-    ce = tw_end[s].astype(jnp.int64)
-    ct = service_time[s].astype(jnp.int64)
-    w0 = work_day_start[v].astype(jnp.int64)
-    w1 = work_day_end[v].astype(jnp.int64)
+    # i32 walk (time values are far below 2^31); the penalty reduction
+    # widens to i64 because 1000 stops x ~2^22 lateness can overflow i32
+    big = jnp.asarray(1 << 30, jnp.int32)
+    cs = tw_start[s].astype(jnp.int32)
+    ce = tw_end[s].astype(jnp.int32)
+    ct = service_time[s].astype(jnp.int32)
+    w0 = work_day_start[v].astype(jnp.int32)
+    w1 = work_day_end[v].astype(jnp.int32)
 
     adds = jnp.where(is_first, -big, ct)
     floors = jnp.where(is_first, jnp.maximum(w0, cs) + ct, cs + ct)
@@ -259,5 +265,7 @@ def vrp_routes_fast(
 
     late = jnp.maximum(post - ce, 0)
     overtime = jnp.where(is_last, jnp.maximum(post - w1, 0), 0)
-    sum_time_penalty = jnp.sum(late + overtime).astype(jnp.float64)
+    sum_time_penalty = jnp.sum(
+        (late + overtime).astype(jnp.int64)
+    ).astype(jnp.float64)
     return sum_distance, sum_time_penalty

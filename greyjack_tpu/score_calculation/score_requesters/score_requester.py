@@ -32,7 +32,7 @@ from greyjack_tpu.score_calculation.score_requesters.variables_manager import (
 def _fact_array(values):
     arr = np.asarray(values)
     if arr.dtype.kind in "ui":
-        return jnp.asarray(arr.astype(np.int64))
+        return jnp.asarray(arr.astype(np.int32))
     if arr.dtype.kind == "f":
         return jnp.asarray(arr.astype(np.float64))
     if arr.dtype.kind == "b":

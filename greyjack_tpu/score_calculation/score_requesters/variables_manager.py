@@ -43,12 +43,12 @@ class VariablesManager:
                 has_initial[i] = True
                 initial[i] = var.initial_value
 
-        self.lower_bounds = jnp.asarray(lower)
-        self.upper_bounds = jnp.asarray(upper)
+        self.lower_bounds = jnp.asarray(lower, dtype=config.FLOAT_DTYPE)
+        self.upper_bounds = jnp.asarray(upper, dtype=config.FLOAT_DTYPE)
         self.discrete_mask = jnp.asarray(discrete)
         self.frozen_mask = jnp.asarray(frozen)
         self.has_initial_mask = jnp.asarray(has_initial)
-        self.initial_values = jnp.asarray(initial)
+        self.initial_values = jnp.asarray(initial, dtype=config.FLOAT_DTYPE)
         self.discrete_ids = np.nonzero(discrete)[0].tolist() or None
 
         # --- semantic groups (insertion order; frozen vars excluded) ------
