@@ -39,6 +39,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the chunk program compiles in minutes on the
+    # remote-compile TPU path; cache hits make driver reruns cheap
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from greyjack_tpu.models.vrp import CotwinBuilder, generate_instance
     from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
     from greyjack_tpu.agents import TabuSearch

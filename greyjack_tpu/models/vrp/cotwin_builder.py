@@ -31,7 +31,7 @@ from greyjack_tpu.score_calculation.score_calculators import (
     PlainScoreCalculator,
     IncrementalScoreCalculator,
 )
-from greyjack_tpu.ops import segments, routes
+from greyjack_tpu.ops import segments, routes, join
 
 
 class CotStop:
@@ -78,48 +78,65 @@ class CotVehicle:
 def build_common(planning, facts, utils):
     """Prescoring: sort stops by vehicle + one fused route walk
     (the reference's common_df build, plus the route walks both distance and
-    lateness constraints share). Uses the log-depth integer-exact kernel by
-    default; `exact_fp_scores` switches to the sequential-order kernel that
-    reproduces the reference's f64 fold bit-for-bit."""
+    lateness constraints share).
+
+    Fast path (default): gather-free joins — the vehicle sort, a sort-merge
+    lookup of the packed customer-fact table (which yields the duplicate
+    count for free), and the packed route kernel whose only O(N) gather is
+    the chain-leg lookup. `exact_fp_scores=True` switches to the
+    sequential-order kernel that reproduces the reference's f64 fold
+    bit-for-bit."""
     stops = planning["planning_stops"]
     v = stops["vehicle_id"]
     c = stops["customer_id"]
     sorted_v, perm = routes.sort_stops_by_vehicle(v)
-    sorted_c = c[perm]
-    tw = {}
-    if utils["time_windowed"]:
-        tw = dict(
-            work_day_start=utils["work_day_start"],
-            work_day_end=utils["work_day_end"],
-            tw_start=utils["tw_start"], tw_end=utils["tw_end"],
-            service_time=utils["service_time"],
-        )
+
     if utils["exact_fp_scores"]:
+        sorted_c = c[perm]
+        tw = {}
+        if utils["time_windowed"]:
+            tw = dict(
+                work_day_start=utils["work_day_start"],
+                work_day_end=utils["work_day_end"],
+                tw_start=utils["tw_start"], tw_end=utils["tw_end"],
+                service_time=utils["service_time"],
+            )
         dist, lateness = routes.vrp_routes(
             sorted_v, sorted_c, utils["distance_matrix"],
             utils["vehicle_depot_ids"], utils["k_vehicles"], **tw,
         )
+        dups = segments.count_minus_n_unique(c, utils["n_locations"])
+        demands = utils["demand_by_vec_id"][c]
+        loads = segments.segment_sum(demands, v, utils["k_vehicles"])
     else:
-        dist, lateness = routes.vrp_routes_fast(
-            sorted_v, sorted_c, utils["distance_matrix_milli"],
-            utils["vehicle_depot_ids"], utils["k_vehicles"], **tw,
+        sorted_c = join.apply_permutation(c, perm)
+        cust_rows, dups = join.sort_merge_lookup_with_dups(
+            utils["cust_packed"], sorted_c)
+        dist, lateness = routes.vrp_routes_packed(
+            sorted_v, sorted_c, utils["dm_flat_milli"],
+            utils["n_locations"], utils["k_vehicles"],
+            utils["vehicle_depot_ids"],
+            utils.get("work_day_start_k"), utils.get("work_day_end_k"),
+            cust_rows, utils["time_windowed"],
         )
-    return {"route_distance": dist, "route_lateness": lateness}
+        loads = segments.segment_sum(cust_rows[:, 0], sorted_v,
+                                     utils["k_vehicles"])
+    return {
+        "route_distance": dist,
+        "route_lateness": lateness,
+        "dup_count": dups,
+        "vehicle_loads": loads,
+    }
 
 
 def no_duplicating_stops_constraint(planning, facts, utils):
-    c = planning["planning_stops"]["customer_id"]
-    dups = segments.count_minus_n_unique(c, utils["n_locations"])
     z = jnp.zeros((), jnp.float64)
-    return (1000.0 * dups, z, z)
+    return (1000.0 * utils["dup_count"], z, z)
 
 
 def capacity_constraint(planning, facts, utils):
-    stops = planning["planning_stops"]
-    demands = utils["demand_by_vec_id"][stops["customer_id"]]
-    overflow = segments.overflow_penalty(
-        demands, stops["vehicle_id"], utils["capacities"], utils["k_vehicles"]
-    )
+    over = jnp.maximum(utils["vehicle_loads"] - utils["capacities"], 0)
+    overflow = jnp.sum(over).astype(jnp.float64)
     z = jnp.zeros((), jnp.float64)
     return (overflow, z, z)
 
@@ -258,10 +275,25 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator = calc_cls(HardMediumSoftScore)
         cust = domain.customers_vec
         calculator.add_utility_object("distance_matrix", domain.distance_matrix)
-        calculator.add_utility_object(
-            "distance_matrix_milli",
-            routes.distance_matrix_to_milli(domain.distance_matrix))
+        dm_milli = routes.distance_matrix_to_milli(domain.distance_matrix)
+        calculator.add_utility_object("distance_matrix_milli", dm_milli)
+        calculator.add_utility_object("dm_flat_milli", dm_milli.reshape(-1))
         calculator.add_utility_object("exact_fp_scores", self.exact_fp_scores)
+        # packed per-location fact rows [L, 4]: demand, tw_start, tw_end,
+        # service — one sort-merge lookup replaces four gathers
+        calculator.add_utility_object(
+            "cust_packed",
+            jnp.asarray(np.array(
+                [[c.demand, c.time_window_start, c.time_window_end,
+                  c.service_time] for c in cust], np.int32)))
+        calculator.add_utility_object(
+            "work_day_start_k",
+            jnp.asarray(np.array([v.work_day_start for v in domain.vehicles],
+                                 np.int32)))
+        calculator.add_utility_object(
+            "work_day_end_k",
+            jnp.asarray(np.array([v.work_day_end for v in domain.vehicles],
+                                 np.int32)))
         calculator.add_utility_object("n_locations", n_locations)
         calculator.add_utility_object("k_vehicles", k)
         calculator.add_utility_object("time_windowed", domain.time_windowed)

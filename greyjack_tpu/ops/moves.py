@@ -6,17 +6,13 @@ semantic group, with per-group entity tabu and a Binomial change-count.
 Every metaheuristic shares this library.
 
 TPU-first formulation: every move is a *permutation-with-resampling* of the
-values at the chosen group's variable slots, so all six reduce to one
-gather + one scatter over the group-member table:
-
-    src_pos[Lmax]   - group position whose value flows into each position
-    resample[Lmax]  - positions whose value is re-drawn from U[lb, ub)
-    active[Lmax]    - positions actually written
-
-The per-candidate kernel computes the (cheap, [Lmax]-sized) mapping for all
-six move types and selects by drawn move id, then applies one scatter into
-the full chromosome. Under `vmap` the whole population moves in one fused
-kernel — there is no per-candidate host loop anywhere.
+chromosome. TPUs have no hardware gather, so the permutation is built
+WITHOUT per-element indexed loads: selected positions are tiny [K]-sized
+lookups, subrange rotations/reversals come from `roll`/`flip` of the
+(dynamically sliced) group-member row, and the final application
+`y[i] = x[p[i]]` uses the double-sort identity (`join.apply_permutation`)
+— one [V]-wide sort instead of a [V]-wide gather. Under `vmap` the whole
+population moves in a handful of fused full-width kernels.
 
 Documented divergences from the reference (search-behavior only; score
 functions are unaffected — SURVEY.md §7.3):
@@ -26,10 +22,7 @@ functions are unaffected — SURVEY.md §7.3):
   * `scramble` applies a uniformly random permutation of the window instead
     of the reference's sequential swap composition (`mover.rs:301-313`);
   * `insertion` uses the clean subrange rotation (the reference's
-    *incremental* semantics, `mover.rs:362-369`; its plain path applies an
-    extra wrap-around swap);
-  * overlapping edges in `swap_edges` resolve by scatter order instead of
-    sequential swap order;
+    *incremental* semantics, `mover.rs:362-369`);
   * entity tabu is a functional ring buffer updated once per step from the
     sampled positions (Gumbel-penalty avoidance) instead of a FIFO mutated
     mid-sampling.
@@ -37,15 +30,13 @@ functions are unaffected — SURVEY.md §7.3):
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from greyjack_tpu import config
 from greyjack_tpu.ops import selection
+from greyjack_tpu.ops.join import apply_permutation
 from greyjack_tpu.utils.math_utils import round_decimal
 
 
@@ -54,8 +45,7 @@ def default_move_thresholds():
     remainder folded into the first (`mover.rs:38-49`)."""
     inc = [round_decimal(1.0 / 6.0, 3)] * 6
     inc[0] += 1.0 - sum(inc)
-    thresholds = np.cumsum(inc)
-    return thresholds
+    return np.cumsum(inc)
 
 
 def thresholds_from_probas(move_probas):
@@ -102,15 +92,23 @@ class MoverConfig:
         return selection.make_tabu_state(max(1, self.n_groups), cap)
 
 
+def _mswap(q, a, b, enable):
+    """Swap q[a] <-> q[b] (scalar positions) when enabled."""
+    va, vb = q[a], q[b]
+    q = q.at[a].set(jnp.where(enable, vb, va))
+    return q.at[b].set(jnp.where(enable, va, vb))
+
+
 def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     """Apply one randomly-drawn move to one candidate.
 
-    candidate: f64[V]. Returns (new_candidate, info) where info carries the
-    touched group/positions for the per-step tabu update. Designed to be
-    vmapped over the population axis.
+    candidate: f32/f64[V]. Returns (new_candidate, info) where info carries
+    the touched group/positions for the per-step tabu update. Designed to
+    be vmapped over the population axis.
     """
     k_max = config.MAX_MOVE_SIZE
     lmax = cfg.max_group_size
+    n_vars = vm.variables_count
     (k_move, k_group, k_count, k_sel, k_len, k_start, k_perm, k_res) = \
         jax.random.split(key, 8)
 
@@ -119,128 +117,116 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
 
     g = jax.random.randint(k_group, (), 0, max(1, cfg.n_groups))
     length = vm.group_sizes[g].astype(jnp.int32)
-    members = vm.group_members[g]
+    members_row = vm.group_members[g]  # [lmax] dynamic row slice (cheap)
     rate = cfg.group_rates[g]
 
     # Binomial(n_vars, rate) change count (`mover.rs:130-143`)
     c_raw = jnp.sum(
-        jax.random.uniform(k_count, (vm.variables_count,), dtype=jnp.float32)
+        jax.random.uniform(k_count, (n_vars,), dtype=jnp.float32)
         < rate.astype(jnp.float32)
     ).astype(jnp.int32)
 
-    # per-move-type effective counts / no-op flags
     c_change = jnp.clip(jnp.maximum(c_raw, 1), 1, k_max)
     c_swap = jnp.clip(jnp.maximum(c_raw, 2), 2, k_max)
-    c_edges = jnp.clip(jnp.maximum(c_raw, 2), 2, jnp.maximum(jnp.minimum(length - 1, k_max), 2))
-    k_scr = jax.random.randint(k_len, (), config.SCRAMBLE_MIN, config.SCRAMBLE_MAX + 1)
+    c_edges = jnp.clip(jnp.maximum(c_raw, 2), 2,
+                       jnp.maximum(jnp.minimum(length - 1, k_max), 2))
+    k_scr = jax.random.randint(k_len, (), config.SCRAMBLE_MIN,
+                               config.SCRAMBLE_MAX + 1)
 
     is_edges = move_type == 2
     sel_limit = jnp.where(is_edges, length - 1, length)
     tabu_mask = None
     if cfg.use_tabu:
-        tabu_mask = selection.tabu_mask_for_group(tabu_state, g, cfg.tabu_sizes, lmax)
-    sel = selection.gumbel_topk_positions(k_sel, sel_limit, k_max, tabu_mask, lmax)
-
-    # scramble window start in [0, length - k_scr) (`mover.rs:294-299`)
+        tabu_mask = selection.tabu_mask_for_group(tabu_state, g,
+                                                  cfg.tabu_sizes, lmax)
+    sel = selection.gumbel_topk_positions(k_sel, sel_limit, k_max, tabu_mask,
+                                          lmax)
     start_limit = jnp.maximum(length - k_scr, 1)
-    start = selection.gumbel_topk_positions(k_start, start_limit, 1, tabu_mask, lmax)[0]
+    start = selection.gumbel_topk_positions(k_start, start_limit, 1,
+                                            tabu_mask, lmax)[0]
 
-    idx = jnp.arange(lmax, dtype=jnp.int32)
-    identity = idx
+    sel_vars = members_row[sel]  # [k_max] tiny lookup
+    sel_next_vars = members_row[jnp.minimum(sel + 1, lmax - 1)]
+
+    iota_v = jnp.arange(n_vars, dtype=jnp.int32)
     ii = jnp.arange(k_max, dtype=jnp.int32)
-    oob = jnp.asarray(lmax, jnp.int32)
+    v_oob = jnp.asarray(n_vars, jnp.int32)
 
-    def cyc_scatter(base, targets, cnt, offset=0):
-        """base.at[targets_i + offset] = targets_{(i+1)%cnt} + offset, i<cnt."""
-        nxt = targets[(ii + 1) % jnp.maximum(cnt, 1)]
-        tgt = jnp.where(ii < cnt, targets + offset, oob)
-        return base.at[tgt].set(nxt + offset, mode="drop")
-
-    def act_scatter(base, targets, cnt, offset=0):
-        tgt = jnp.where(ii < cnt, targets + offset, oob)
-        return base.at[tgt].set(True, mode="drop")
-
-    false_l = jnp.zeros((lmax,), bool)
-
-    # --- 0: change — resample selected positions (`mover.rs:145-177`)
-    act0 = act_scatter(false_l, sel, c_change)
+    # --- 0: change (identity perm + resample) — `mover.rs:145-177`
     noop0 = length < c_change
-    # --- 1: swap — left-rotate values at selected positions (`mover.rs:179-216`)
-    src1 = cyc_scatter(identity, sel, c_swap)
-    act1 = act_scatter(false_l, sel, c_swap)
+    # --- 1: swap — left-rotate values at selected vars (`mover.rs:179-216`)
+    tgt1 = jnp.where(ii < c_swap, sel_vars, v_oob)
+    rot1 = sel_vars[(ii + 1) % jnp.maximum(c_swap, 1)]
+    p1 = iota_v.at[tgt1].set(rot1, mode="drop")
     noop1 = length < c_swap
-    # --- 2: swap_edges (`mover.rs:218-278`): edges e_i = (sel_i, sel_i+1)
-    # rotated left, then chained pairwise swaps. Simulated as the exact
-    # sequential swap composition on an index array so overlapping edges
-    # still compose to a permutation (multiset-preserving).
-    def mswap(q, a, b, en):
-        va, vb = q[a], q[b]
-        q = q.at[a].set(jnp.where(en, vb, va))
-        return q.at[b].set(jnp.where(en, va, vb))
-
-    src2 = identity
+    # --- 2: swap_edges — exact sequential swap composition (`mover.rs:218-278`)
+    q = iota_v
     for i in range(1, k_max):
         en = i < c_edges
-        prev_e = sel[(i - 1 + 1) % jnp.maximum(c_edges, 1)]  # rotated: r_{i-1} = e_i
-        cur_e = sel[(i + 1) % jnp.maximum(c_edges, 1)]       # r_i = e_{(i+1)%c}
-        src2 = mswap(src2, prev_e, cur_e, en)
-        src2 = mswap(src2, prev_e + 1, cur_e + 1, en)
-    act2 = act_scatter(act_scatter(false_l, sel, c_edges, 0), sel, c_edges, 1)
+        cm = jnp.maximum(c_edges, 1)
+        prev_i = jnp.asarray(i, jnp.int32) % cm
+        cur_i = jnp.asarray(i + 1, jnp.int32) % cm
+        q = _mswap(q, sel_vars[prev_i], sel_vars[cur_i], en)
+        q = _mswap(q, sel_next_vars[prev_i], sel_next_vars[cur_i], en)
+    p2 = q
     noop2 = length < 3
-    # --- 3: scramble — random permutation of window [start, start+k) (`mover.rs:280-316`)
-    perm = selection.random_permutation_positions(k_perm, config.SCRAMBLE_MAX, k_scr)
+    # --- 3: scramble — random permutation of window (`mover.rs:280-316`)
+    w_vars = jax.lax.dynamic_slice(members_row, (start,),
+                                   (config.SCRAMBLE_MAX,))
+    perm = selection.random_permutation_positions(k_perm,
+                                                  config.SCRAMBLE_MAX, k_scr)
     jj = jnp.arange(config.SCRAMBLE_MAX, dtype=jnp.int32)
-    w_tgt = jnp.where(jj < k_scr, start + jj, oob)
-    src3 = identity.at[w_tgt].set(start + perm, mode="drop")
-    act3 = false_l.at[w_tgt].set(True, mode="drop")
+    w_tgt = jnp.where(jj < k_scr, w_vars, v_oob)
+    p3 = iota_v.at[w_tgt].set(w_vars[perm], mode="drop")
     noop3 = length <= k_scr
-    # --- 4: insertion — rotate subrange [a, b] toward a (`mover.rs:318-375`)
+    # --- 4/5: subrange rotation / reversal (`mover.rs:318-421`) built from
+    # roll/flip of the member row — no indexed gathers
     a, b = sel[0], sel[1]
     lo, hi = jnp.minimum(a, b), jnp.maximum(a, b)
-    in_range = (idx >= lo) & (idx <= hi)
-    src_left = jnp.where(idx == hi, lo, idx + 1)
-    src_right = jnp.where(idx == lo, hi, idx - 1)
-    src4 = jnp.where(in_range, jnp.where(a < b, src_left, src_right), identity)
-    act4 = in_range
-    noop4 = (length <= 1) | (a == b)
-    # --- 5: inverse — reverse subrange values (`mover.rs:377-421`)
-    src5 = jnp.where(in_range, lo + hi - idx, identity)
-    act5 = in_range
-    noop5 = (length <= 1) | (a == b)
+    idxl = jnp.arange(lmax, dtype=jnp.int32)
+    in_range = (idxl >= lo) & (idxl <= hi)
+    m_lo = members_row[lo]
+    m_hi = members_row[hi]
+    shifted_l = jnp.roll(members_row, -1)
+    shifted_r = jnp.roll(members_row, 1)
+    src4 = jnp.where(a < b,
+                     jnp.where(idxl == hi, m_lo, shifted_l),
+                     jnp.where(idxl == lo, m_hi, shifted_r))
+    tgt45 = jnp.where(in_range, members_row, v_oob)
+    p4 = iota_v.at[tgt45].set(src4, mode="drop")
+    noop45 = (length <= 1) | (a == b)
+    # reversal: members_row[lo+hi-i] = roll(flip(members_row), lo+hi-(lmax-1))[i]
+    rev_aligned = jnp.roll(jnp.flip(members_row), lo + hi - (lmax - 1))
+    p5 = iota_v.at[tgt45].set(rev_aligned, mode="drop")
 
-    srcs = jnp.stack([identity, src1, src2, src3, src4, src5])
-    acts = jnp.stack([act0, act1, act2, act3, act4, act5])
-    noops = jnp.stack([noop0, noop1, noop2, noop3, noop4, noop5])
+    perms = jnp.stack([iota_v, p1, p2, p3, p4, p5])
+    noops = jnp.stack([noop0, noop1, noop2, noop3, noop45, noop45])
+    p = jnp.where(noops[move_type], iota_v, perms[move_type])
 
-    src_pos = srcs[move_type]
-    active = acts[move_type] & ~noops[move_type] & (idx < length)
-    resample = jnp.where(move_type == 0, active, false_l)
+    new_candidate = apply_permutation(candidate, p)
 
-    member_ids = members
-    src_ids = members[jnp.clip(src_pos, 0, lmax - 1)]
-    moved_vals = candidate[src_ids]
-    u = jax.random.uniform(k_res, (lmax,), dtype=candidate.dtype)
-    lo_b = vm.lower_bounds[member_ids].astype(candidate.dtype)
-    hi_b = vm.upper_bounds[member_ids].astype(candidate.dtype)
-    random_vals = lo_b + u * (hi_b - lo_b)
-    new_vals = jnp.where(resample, random_vals, moved_vals)
+    # change-move resampling: U[lb, ub) at the selected vars
+    lo_b = vm.lower_bounds[sel_vars].astype(candidate.dtype)
+    hi_b = vm.upper_bounds[sel_vars].astype(candidate.dtype)
+    u = jax.random.uniform(k_res, (k_max,), dtype=candidate.dtype)
+    rnd = lo_b + u * (hi_b - lo_b)
+    rnd_tgt = jnp.where(
+        (move_type == 0) & (ii < c_change) & ~noop0, sel_vars, v_oob
+    )
+    new_candidate = new_candidate.at[rnd_tgt].set(rnd, mode="drop")
 
-    v_oob = jnp.asarray(vm.variables_count, member_ids.dtype)
-    scatter_ids = jnp.where(active, member_ids, v_oob)
-    new_candidate = candidate.at[scatter_ids].set(new_vals, mode="drop")
-
-    # tabu bookkeeping info: positions this move consumed
     tabu_positions = jnp.where(move_type == 3, start * jnp.ones_like(sel), sel)
     tabu_count = jnp.where(
         move_type == 3, 1,
-        jnp.stack([c_change, c_swap, c_edges, jnp.int32(1), jnp.int32(2), jnp.int32(2)])[move_type],
+        jnp.stack([c_change, c_swap, c_edges, jnp.int32(1), jnp.int32(2),
+                   jnp.int32(2)])[move_type],
     )
     info = {"group": g, "positions": tabu_positions, "count": tabu_count}
     return new_candidate, info
 
 
 def move_population(key, population, vm, cfg: MoverConfig, tabu_state):
-    """Vmapped `do_move` over a population f64[P, V].
+    """Vmapped `do_move` over a population f32/f64[P, V].
 
     `vm`/`cfg` are static schema holders (closed over); `tabu_state` is a
     shared (unbatched) pytree.

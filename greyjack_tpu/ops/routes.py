@@ -202,6 +202,104 @@ def _maxplus_scan(adds, floors):
     return jnp.maximum(a, u)
 
 
+def vrp_routes_packed(
+    sorted_vehicle_ids,
+    sorted_customer_ids,
+    dm_flat_milli,
+    n_locations,
+    num_vehicles,
+    vehicle_depot_ids,
+    work_day_start,
+    work_day_end,
+    cust_rows,
+    time_windowed,
+    precision=3,
+):
+    """Gather-minimal route walk.
+
+    cust_rows: i32[N, 4] per sorted stop — [demand, tw_start, tw_end,
+    service], prefetched via `join.sort_merge_lookup`. Vehicle facts stay
+    [K]-sized constants: per-vehicle first/last stops come from scatters
+    and work-day bounds are scattered onto boundary positions, so the only
+    O(N) gather is the chain-leg lookup into the flat integer-milli
+    distance matrix (depot legs are K-sized gathers). Semantics identical
+    to `vrp_routes_fast`.
+    """
+    v = sorted_vehicle_ids
+    s = sorted_customer_ids
+    l = n_locations
+    k = num_vehicles
+    n = s.shape[0]
+
+    is_first = jnp.concatenate([jnp.array([True]), v[1:] != v[:-1]])
+    is_last = jnp.concatenate([v[:-1] != v[1:], jnp.array([True])])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    oob_k = jnp.asarray(k, v.dtype)
+
+    first_customer = (
+        jnp.zeros((k,), s.dtype).at[jnp.where(is_first, v, oob_k)]
+        .set(s, mode="drop")
+    )
+    last_customer = (
+        jnp.zeros((k,), s.dtype).at[jnp.where(is_last, v, oob_k)]
+        .set(s, mode="drop")
+    )
+    first_pos = (
+        jnp.full((k,), n, jnp.int32).at[jnp.where(is_first, v, oob_k)]
+        .set(pos, mode="drop")
+    )
+    last_pos = (
+        jnp.full((k,), n, jnp.int32).at[jnp.where(is_last, v, oob_k)]
+        .set(pos, mode="drop")
+    )
+    has_stops = jnp.zeros((k,), bool).at[v].set(True, mode="drop")
+
+    chain_idx = s[:-1] * l + s[1:]
+    chain_leg = jnp.concatenate(
+        [jnp.zeros((1,), dm_flat_milli.dtype),
+         jnp.where(is_first[1:], 0, dm_flat_milli[chain_idx])]
+    )
+    depots = vehicle_depot_ids.astype(s.dtype)
+    start_leg_k = jnp.where(
+        has_stops, dm_flat_milli[depots * l + first_customer], 0
+    )
+    return_leg_k = jnp.where(
+        has_stops, dm_flat_milli[last_customer * l + depots], 0
+    )
+    total_milli = (
+        jnp.sum(chain_leg.astype(jnp.int64))
+        + jnp.sum((start_leg_k + return_leg_k).astype(jnp.int64))
+    )
+    sum_distance = total_milli.astype(jnp.float64) / float(10 ** precision)
+
+    if not time_windowed:
+        return sum_distance, jnp.zeros((), jnp.float64)
+
+    big = jnp.asarray(1 << 30, jnp.int32)
+    cs = cust_rows[:, 1]
+    ce = cust_rows[:, 2]
+    ct = cust_rows[:, 3]
+    w0_at = (
+        jnp.zeros((n + 1,), jnp.int32).at[first_pos]
+        .set(jnp.where(has_stops, work_day_start, 0), mode="drop")[:n]
+    )
+    w1_at = (
+        jnp.zeros((n + 1,), jnp.int32).at[last_pos]
+        .set(jnp.where(has_stops, work_day_end, 0), mode="drop")[:n]
+    )
+
+    adds = jnp.where(is_first, -big, ct)
+    floors = jnp.where(is_first, jnp.maximum(w0_at, cs) + ct, cs + ct)
+    post = _maxplus_scan(adds, floors)
+
+    late = jnp.maximum(post - ce, 0)
+    overtime = jnp.where(is_last, jnp.maximum(post - w1_at, 0), 0)
+    sum_time_penalty = jnp.sum(
+        (late + overtime).astype(jnp.int64)
+    ).astype(jnp.float64)
+    return sum_distance, sum_time_penalty
+
+
 def vrp_routes_fast(
     sorted_vehicle_ids,
     sorted_customer_ids,

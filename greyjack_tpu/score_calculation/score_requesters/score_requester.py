@@ -82,6 +82,17 @@ class ScoreRequester:
                 c: jnp.asarray(np.asarray(ids, dtype=np.int32))
                 for c, ids in var_id_cols.items()
             }
+            # affine index patterns (start + stride*i) become strided slices
+            # instead of gathers — gathers are ~10ns/element on TPU
+            schema["affine"] = {}
+            for c, ids in var_id_cols.items():
+                arr = np.asarray(ids)
+                if len(arr) == 1:
+                    schema["affine"][c] = (int(arr[0]), 1)
+                elif len(arr) > 1:
+                    stride = int(arr[1] - arr[0])
+                    if stride > 0 and (np.diff(arr) == stride).all():
+                        schema["affine"][c] = (int(arr[0]), stride)
             schema["facts"] = {c: _fact_array(v) for c, v in fact_cols.items()}
             self.planning_schema[group_name] = schema
 
@@ -113,7 +124,15 @@ class ScoreRequester:
         for group_name, schema in self.planning_schema.items():
             cols = {}
             for col, var_ids in schema["var_ids"].items():
-                vals = fixed[..., var_ids]
+                n = var_ids.shape[0]
+                if col in schema["affine"]:
+                    start, stride = schema["affine"][col]
+                    vals = jax.lax.slice_in_dim(
+                        fixed, start, start + (n - 1) * stride + 1, stride,
+                        axis=fixed.ndim - 1,
+                    )
+                else:
+                    vals = fixed[..., var_ids]
                 if schema["is_discrete"][col]:
                     cols[col] = vals.astype(config.INT_DTYPE)
                 else:

@@ -41,6 +41,26 @@ def round_decimal(value: float, precision: int) -> float:
     return fl + math.floor((value - fl) * multiplier) / multiplier
 
 
+def get_random_id(start_id: int, end_exclusive: int) -> int:
+    """Host-side uniform id draw (`math_utils.rs:14-16`)."""
+    import random
+
+    return random.randrange(start_id, end_exclusive)
+
+
+def choice(objects, n: int, replace: bool):
+    """Host-side sampling with/without replacement (`math_utils.rs:18-47`)."""
+    import random
+
+    if replace:
+        return [random.choice(objects) for _ in range(n)]
+    if n > len(objects):
+        raise ValueError(
+            "There are less objects than can be chosen without replacement"
+        )
+    return random.sample(list(objects), n)
+
+
 def round_decimal_jnp(value, precision):
     """Vectorized `round_decimal`; `precision` must be static (a Python int
     or concrete array) — the multiplier is computed on host because device
