@@ -13,7 +13,20 @@ from greyjack_tpu.models.nqueens import DomainBuilder, CotwinBuilder
 from greyjack_tpu.agents import TabuSearch
 from greyjack_tpu.agents.termination_strategies import ScoreLimit
 from greyjack_tpu.score_calculation.scores import SimpleScore
-from greyjack_tpu.solver import Solver, SolverLoggingLevels
+from greyjack_tpu.solver import Observer, Solver, SolverLoggingLevels
+
+
+class NQueensObserver(Observer):
+    """Example observer (mirrors the reference's
+    `observers_examples/nqueens_observer.rs`): called with every new global
+    best solution JSON."""
+
+    def __init__(self, domain_builder):
+        self.domain_builder = domain_builder
+
+    def update(self, solution):
+        domain = self.domain_builder.build_from_solution(solution)
+        print(f"[observer] conflicts now: {domain.conflict_count()}")
 
 
 def main():
@@ -31,10 +44,14 @@ def main():
         termination_strategy=termination_strategy,
     )
 
+    # optional observers, as in the reference main (`nqueens/src/main.rs:37-39`)
+    observers = [NQueensObserver(domain_builder)]
+
     solution = Solver.solve(
         domain_builder, cotwin_builder, agent_builder,
         n_jobs=8, score_precision=None,
         logging_level=SolverLoggingLevels.FreshOnly,
+        observers=observers,
     )
 
     domain = domain_builder.build_from_solution(solution)

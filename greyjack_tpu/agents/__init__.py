@@ -3,6 +3,7 @@ from greyjack_tpu.agents.genetic_algorithm import GeneticAlgorithm
 from greyjack_tpu.agents.late_acceptance import LateAcceptance
 from greyjack_tpu.agents.simulated_annealing import SimulatedAnnealing
 from greyjack_tpu.agents.lshade import LSHADE
+from greyjack_tpu.agents.base_individual import Individual
 from greyjack_tpu.agents import termination_strategies
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "LateAcceptance",
     "SimulatedAnnealing",
     "LSHADE",
+    "Individual",
     "termination_strategies",
 ]

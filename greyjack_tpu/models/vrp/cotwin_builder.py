@@ -110,8 +110,8 @@ def build_common(planning, facts, utils):
         loads = segments.segment_sum(demands, v, utils["k_vehicles"])
     else:
         sorted_c = join.apply_permutation(c, perm)
-        cust_rows, dups = join.sort_merge_lookup_with_dups(
-            utils["cust_packed"], sorted_c)
+        cust_rows, dups = join.iota_table_lookup(
+            utils["cust_packed"], sorted_c, with_dups=True)
         dist, lateness = routes.vrp_routes_packed(
             sorted_v, sorted_c, utils["dm_flat_milli"],
             utils["n_locations"], utils["k_vehicles"],

@@ -133,6 +133,51 @@ def sort_merge_lookup_with_dups(table, keys):
     return (out[:, 0] if single else out), dup_count
 
 
+def iota_table_lookup(table, keys, with_dups=False):
+    """rows[i] = table[keys[i]] for an iota-keyed table (row r has key r) —
+    the common case for dense-id fact tables. Cheaper than the general
+    sort-merge: only the queries are sorted (2-operand sort), merged
+    positions are computed arithmetically (table key r lands at
+    r + #queries<r; the j-th sorted query at q_j + 1 + j), table payloads
+    are scattered into the merged layout, forward-filled, and scattered
+    back to query positions. No gathers anywhere.
+    """
+    single = table.ndim == 1
+    if single:
+        table = table[:, None]
+    l, f = table.shape
+    n = keys.shape[0]
+    m = l + n
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sorted_q, q_pos = jax.lax.sort(
+        (keys.astype(jnp.int32), pos), num_keys=1, is_stable=True
+    )
+    dup_count = jnp.sum(sorted_q[1:] == sorted_q[:-1]).astype(jnp.float64)
+
+    counts = jnp.zeros((l,), jnp.int32).at[sorted_q].add(1, mode="drop")
+    cnt_less = jnp.cumsum(counts) - counts  # exclusive cumsum, [L] (small)
+    # merged order: table key r lands after the queries smaller than r;
+    # the j-th sorted query lands after the r <= q_j table keys and the j
+    # earlier queries
+    table_slots = jnp.arange(l, dtype=jnp.int32) + cnt_less
+    query_slots = sorted_q + 1 + jnp.arange(n, dtype=jnp.int32)
+
+    merged_vals = jnp.zeros((m, f), table.dtype).at[table_slots].set(table)
+    merged_have = jnp.zeros((m,), bool).at[table_slots].set(True)
+    filled = jax.vmap(
+        lambda col: _ffill_log(col, merged_have, jnp.zeros((), table.dtype)),
+        in_axes=1, out_axes=1,
+    )(merged_vals)
+
+    out_pos = jnp.full((m,), n, jnp.int32).at[query_slots].set(q_pos, mode="drop")
+    out = jnp.zeros((n, f), table.dtype).at[out_pos].set(filled, mode="drop")
+    out = out if not single else out[:, 0]
+    if with_dups:
+        return out, dup_count
+    return out
+
+
 def apply_permutation(x, p):
     """y[i] = x[p[i]] for a permutation p of [0, n), gather-free.
 

@@ -141,9 +141,12 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
                                                   cfg.tabu_sizes, lmax)
     sel = selection.gumbel_topk_positions(k_sel, sel_limit, k_max, tabu_mask,
                                           lmax)
+    # scramble window start: plain uniform draw (a full Gumbel top-k here
+    # would double the selection cost; tabu avoidance for the window start
+    # is a documented relaxation)
     start_limit = jnp.maximum(length - k_scr, 1)
-    start = selection.gumbel_topk_positions(k_start, start_limit, 1,
-                                            tabu_mask, lmax)[0]
+    u_start = jax.random.uniform(k_start, (), dtype=jnp.float32)
+    start = jnp.floor(u_start * start_limit).astype(jnp.int32)
 
     sel_vars = members_row[sel]  # [k_max] tiny lookup
     sel_next_vars = members_row[jnp.minimum(sel + 1, lmax - 1)]
@@ -152,36 +155,42 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     ii = jnp.arange(k_max, dtype=jnp.int32)
     v_oob = jnp.asarray(n_vars, jnp.int32)
 
-    # --- 0: change (identity perm + resample) — `mover.rs:145-177`
+    # Exactly one branch is active per candidate, so every branch scatters
+    # into the same identity permutation with its targets masked by the
+    # drawn move type — no [6, V] stack is ever materialized.
     noop0 = length < c_change
-    # --- 1: swap — left-rotate values at selected vars (`mover.rs:179-216`)
-    tgt1 = jnp.where(ii < c_swap, sel_vars, v_oob)
-    rot1 = sel_vars[(ii + 1) % jnp.maximum(c_swap, 1)]
-    p1 = iota_v.at[tgt1].set(rot1, mode="drop")
     noop1 = length < c_swap
+    noop2 = length < 3
+    noop3 = length <= k_scr
+    a, b = sel[0], sel[1]
+    noop45 = (length <= 1) | (a == b)
+
+    p = iota_v
+    # --- 1: swap — left-rotate values at selected vars (`mover.rs:179-216`)
+    en1 = (move_type == 1) & ~noop1
+    tgt1 = jnp.where(en1 & (ii < c_swap), sel_vars, v_oob)
+    rot1 = sel_vars[(ii + 1) % jnp.maximum(c_swap, 1)]
+    p = p.at[tgt1].set(rot1, mode="drop")
     # --- 2: swap_edges — exact sequential swap composition (`mover.rs:218-278`)
-    q = iota_v
+    en2 = (move_type == 2) & ~noop2
     for i in range(1, k_max):
-        en = i < c_edges
+        en = en2 & (i < c_edges)
         cm = jnp.maximum(c_edges, 1)
         prev_i = jnp.asarray(i, jnp.int32) % cm
         cur_i = jnp.asarray(i + 1, jnp.int32) % cm
-        q = _mswap(q, sel_vars[prev_i], sel_vars[cur_i], en)
-        q = _mswap(q, sel_next_vars[prev_i], sel_next_vars[cur_i], en)
-    p2 = q
-    noop2 = length < 3
+        p = _mswap(p, sel_vars[prev_i], sel_vars[cur_i], en)
+        p = _mswap(p, sel_next_vars[prev_i], sel_next_vars[cur_i], en)
     # --- 3: scramble — random permutation of window (`mover.rs:280-316`)
+    en3 = (move_type == 3) & ~noop3
     w_vars = jax.lax.dynamic_slice(members_row, (start,),
                                    (config.SCRAMBLE_MAX,))
     perm = selection.random_permutation_positions(k_perm,
                                                   config.SCRAMBLE_MAX, k_scr)
     jj = jnp.arange(config.SCRAMBLE_MAX, dtype=jnp.int32)
-    w_tgt = jnp.where(jj < k_scr, w_vars, v_oob)
-    p3 = iota_v.at[w_tgt].set(w_vars[perm], mode="drop")
-    noop3 = length <= k_scr
+    w_tgt = jnp.where(en3 & (jj < k_scr), w_vars, v_oob)
+    p = p.at[w_tgt].set(w_vars[perm], mode="drop")
     # --- 4/5: subrange rotation / reversal (`mover.rs:318-421`) built from
     # roll/flip of the member row — no indexed gathers
-    a, b = sel[0], sel[1]
     lo, hi = jnp.minimum(a, b), jnp.maximum(a, b)
     idxl = jnp.arange(lmax, dtype=jnp.int32)
     in_range = (idxl >= lo) & (idxl <= hi)
@@ -192,16 +201,12 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     src4 = jnp.where(a < b,
                      jnp.where(idxl == hi, m_lo, shifted_l),
                      jnp.where(idxl == lo, m_hi, shifted_r))
-    tgt45 = jnp.where(in_range, members_row, v_oob)
-    p4 = iota_v.at[tgt45].set(src4, mode="drop")
-    noop45 = (length <= 1) | (a == b)
     # reversal: members_row[lo+hi-i] = roll(flip(members_row), lo+hi-(lmax-1))[i]
     rev_aligned = jnp.roll(jnp.flip(members_row), lo + hi - (lmax - 1))
-    p5 = iota_v.at[tgt45].set(rev_aligned, mode="drop")
-
-    perms = jnp.stack([iota_v, p1, p2, p3, p4, p5])
-    noops = jnp.stack([noop0, noop1, noop2, noop3, noop45, noop45])
-    p = jnp.where(noops[move_type], iota_v, perms[move_type])
+    en45 = ((move_type == 4) | (move_type == 5)) & ~noop45
+    tgt45 = jnp.where(en45 & in_range, members_row, v_oob)
+    src45 = jnp.where(move_type == 4, src4, rev_aligned)
+    p = p.at[tgt45].set(src45, mode="drop")
 
     new_candidate = apply_permutation(candidate, p)
 

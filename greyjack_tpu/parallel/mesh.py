@@ -17,3 +17,21 @@ def make_island_mesh(devices=None):
     if devices is None:
         devices = jax.devices()
     return Mesh(np.array(devices), ("islands",))
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up: `jax.distributed.initialize` + a global island
+    mesh over every chip in the slice/pod.
+
+    Replaces the reference's single-process rayon fan-out
+    (`solver/solver.rs:94-143`) for multi-host runs: migration then rides
+    ICI within a slice and DCN across slices through the same `ppermute`
+    ring (the mesh orders devices so neighboring islands are ICI-adjacent).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return make_island_mesh()
