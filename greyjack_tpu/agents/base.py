@@ -29,12 +29,19 @@ STUB = sys.float_info.max - 1.0
 
 
 class MetaheuristicKernel:
-    """Bundle of device closures handed to the island runner."""
+    """Bundle of device closures handed to the island runner.
 
-    def __init__(self, builder, init_state, step):
+    `refresh` (optional) re-derives state that is a pure function of the
+    population — e.g. the delta-scoring ctx — after the runner replaces
+    individuals behind the kernel's back (migration, global-best adoption).
+    Called once per chunk, so an O(N) rebuild is amortized over
+    `migration_frequency` O(K) steps."""
+
+    def __init__(self, builder, init_state, step, refresh=None):
         self.builder = builder
         self.init_state = init_state
         self.step = step
+        self.refresh = refresh
         self.metaheuristic_kind = builder.metaheuristic_kind
         self.population_size = builder.population_size
         self.migration_rate = builder.migration_rate
@@ -52,6 +59,21 @@ def make_score_fn(requester, score_precision=None):
 
         return fn
     return requester.request_score_plain
+
+
+def make_delta_score_fn(requester, score_precision=None):
+    """(ctx, deltas [n, K]) -> scores [n, S] with optional decimal rounding.
+    The delta math is exact integer arithmetic, so base+delta then round
+    equals full-rescore then round."""
+    if score_precision is not None:
+        precision = jnp.asarray(list(score_precision), dtype=jnp.float64)
+
+        def fn(ctx, deltas):
+            scores = requester.request_score_delta(ctx, deltas)
+            return round_decimal_jnp(scores, precision)
+
+        return fn
+    return requester.request_score_delta
 
 
 def base_state(population, scores):

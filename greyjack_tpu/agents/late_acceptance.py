@@ -65,6 +65,55 @@ class LateAcceptance:
         score_fn = base.make_score_fn(requester, score_precision)
         s = requester.score_size
 
+        if requester.supports_delta:
+            # incremental mode: one O(K) delta per step against the ctx in
+            # state (`late_acceptance_base.rs:188-241` semantics)
+            delta_score_fn = base.make_delta_score_fn(requester,
+                                                      score_precision)
+
+            def init_state(key):
+                population = vm.sample_variables(key, 1)
+                scores = score_fn(population)
+                state = base.base_state(population, scores)
+                state["tabu"] = cfg.init_tabu_state()
+                state["late"] = ring_init(self.late_acceptance_size, s)
+                state["ctx"] = requester.build_base_ctx(population[0])
+                return state
+
+            def step(key, state, extras):
+                k_move, _ = jax.random.split(key)
+                base_row = state["population"][0]
+                deltas, info = moves.move_population_delta(
+                    k_move, base_row, 1, vm, cfg, state["tabu"])
+                cand_score = delta_score_fn(state["ctx"], deltas)[0]
+                compare_to = ring_oldest(state["late"], state["scores"][0])
+                accept = lexico.lex_leq(cand_score, compare_to) | \
+                    lexico.lex_leq(cand_score, state["scores"][0])
+                winner = jax.tree.map(lambda x: x[0], deltas)
+                winner = {**winner, "valid": winner["valid"] & accept}
+                new_row = moves.apply_delta(base_row, winner)
+                state = dict(state)
+                state["late"] = ring_push_front(state["late"], cand_score,
+                                                accept)
+                state["population"] = new_row[None, :]
+                state["scores"] = jnp.where(accept, cand_score[None, :],
+                                            state["scores"])
+                state["ctx"] = requester.update_ctx(state["ctx"], winner)
+                if cfg.use_tabu:
+                    state["tabu"] = moves.update_tabu_from_info(
+                        state["tabu"], info, 0)
+                state = base.update_top(state)
+                state["step_id"] = state["step_id"] + 1
+                return state
+
+            def refresh(state):
+                state = dict(state)
+                state["ctx"] = requester.build_base_ctx(
+                    state["population"][0])
+                return state
+
+            return base.MetaheuristicKernel(self, init_state, step, refresh)
+
         def init_state(key):
             population = vm.sample_variables(key, 1)
             scores = score_fn(population)

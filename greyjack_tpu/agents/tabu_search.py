@@ -43,6 +43,53 @@ class TabuSearch:
         score_fn = base.make_score_fn(requester, score_precision)
         n = self.neighbours_count
 
+        if requester.supports_delta:
+            # incremental mode (`tabu_search_base.rs:107-188` semantics): the
+            # whole neighbourhood is scored as O(K) deltas against a ctx
+            # carried in state; the winning delta is applied to both the
+            # chromosome and the ctx — no O(N) work per step at all
+            delta_score_fn = base.make_delta_score_fn(requester,
+                                                      score_precision)
+
+            def init_state(key):
+                population = vm.sample_variables(key, 1)
+                scores = score_fn(population)
+                state = base.base_state(population, scores)
+                state["tabu"] = cfg.init_tabu_state()
+                state["ctx"] = requester.build_base_ctx(population[0])
+                return state
+
+            def step(key, state, extras):
+                k_move, _ = jax.random.split(key)
+                base_row = state["population"][0]
+                deltas, info = moves.move_population_delta(
+                    k_move, base_row, n, vm, cfg, state["tabu"])
+                scores = delta_score_fn(state["ctx"], deltas)
+                best = lexico.lex_argmin(scores)
+                accept = lexico.lex_leq(scores[best], state["scores"][0])
+                winner = jax.tree.map(lambda x: x[best], deltas)
+                winner = {**winner, "valid": winner["valid"] & accept}
+                new_row = moves.apply_delta(base_row, winner)
+                state = dict(state)
+                state["population"] = new_row[None, :]
+                state["scores"] = jnp.where(accept, scores[best][None, :],
+                                            state["scores"])
+                state["ctx"] = requester.update_ctx(state["ctx"], winner)
+                if cfg.use_tabu:
+                    state["tabu"] = moves.update_tabu_from_info(
+                        state["tabu"], info, best)
+                state = base.update_top(state)
+                state["step_id"] = state["step_id"] + 1
+                return state
+
+            def refresh(state):
+                state = dict(state)
+                state["ctx"] = requester.build_base_ctx(
+                    state["population"][0])
+                return state
+
+            return base.MetaheuristicKernel(self, init_state, step, refresh)
+
         def init_state(key):
             population = vm.sample_variables(key, 1)
             scores = score_fn(population)

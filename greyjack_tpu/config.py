@@ -46,5 +46,11 @@ MAX_MOVE_SIZE = 8
 SCRAMBLE_MIN = 3
 SCRAMBLE_MAX = 6
 
+# Static width of a move in DELTA form: every move emits at most this many
+# (variable, new value) pairs. swap_edges touches 2*MAX_MOVE_SIZE vars;
+# insertion/inverse windows are capped at this length on the delta path
+# (documented divergence — the plain path keeps unbounded subranges).
+DELTA_MOVE_SIZE = 2 * MAX_MOVE_SIZE
+
 # Static cap on the per-group tabu ring buffer length.
 MAX_TABU_SIZE = 128

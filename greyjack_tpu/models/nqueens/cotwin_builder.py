@@ -11,6 +11,8 @@ population.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from greyjack_tpu.cotwin import Cotwin, CotwinBuilderBase
 from greyjack_tpu.variables import GJInteger
 from greyjack_tpu.score_calculation.scores import SimpleScore
@@ -18,7 +20,7 @@ from greyjack_tpu.score_calculation.score_calculators import (
     PlainScoreCalculator,
     IncrementalScoreCalculator,
 )
-from greyjack_tpu.ops import segments
+from greyjack_tpu.ops import segments, moves
 
 
 class CotQueen:
@@ -44,6 +46,89 @@ def all_different(planning, facts, utils):
     desc_conflicts = segments.count_minus_n_unique(cols + rows, 2 * n - 1)
     asc_conflicts = segments.count_minus_n_unique(cols - rows + (n - 1), 2 * n - 1)
     return (row_conflicts + desc_conflicts + asc_conflicts,)
+
+
+# --- delta (incremental) kernels ---------------------------------------------
+# The reference's incremental nqueens scorer patches a HashSet per delta row
+# (`score/incremental_score_calculator.rs:23-57`, ~5x over plain); here the
+# three conflict families (rows, desc diag, asc diag) keep base histograms in
+# the ctx and each neighbour costs O(K) exact `nunique_delta`s.
+
+def build_delta_ctx(planning, facts, utils):
+    rows = planning["queens"]["row_id"]
+    n = rows.shape[0]
+    cols = jnp.arange(n, dtype=rows.dtype)
+    counts_r = jnp.zeros((n,), jnp.int32).at[rows].add(1)
+    counts_d = jnp.zeros((2 * n - 1,), jnp.int32).at[cols + rows].add(1)
+    counts_a = jnp.zeros((2 * n - 1,), jnp.int32).at[cols - rows + (n - 1)
+                                                     ].add(1)
+    conflicts = (
+        3 * n
+        - jnp.sum(counts_r > 0)
+        - jnp.sum(counts_d > 0)
+        - jnp.sum(counts_a > 0)
+    ).astype(jnp.int32)
+    return {"rows": rows, "counts_r": counts_r, "counts_d": counts_d,
+            "counts_a": counts_a, "conflicts": conflicts}
+
+
+def score_delta(ctx, delta, utils):
+    delta = moves.dedupe_delta(delta)
+    rows_arr = ctx["rows"]
+    n = rows_arr.shape[0]
+    q = utils["delta_schema"]["var_row"][delta["positions"]]  # queen index
+    valid = delta["valid"]
+    nv = jnp.round(delta["values"]).astype(jnp.int32)
+    old = rows_arr[q]
+    z = jnp.zeros_like(nv)
+    d = (
+        segments.nunique_delta(ctx["counts_r"], jnp.where(valid, old, z),
+                               jnp.where(valid, nv, z), valid)
+        + segments.nunique_delta(ctx["counts_d"],
+                                 jnp.where(valid, q + old, z),
+                                 jnp.where(valid, q + nv, z), valid)
+        + segments.nunique_delta(ctx["counts_a"],
+                                 jnp.where(valid, q - old + (n - 1), z),
+                                 jnp.where(valid, q - nv + (n - 1), z), valid)
+    )
+    return ((ctx["conflicts"] - d).astype(jnp.float64))[None]
+
+
+def update_ctx(ctx, delta, utils):
+    delta = moves.dedupe_delta(delta)
+    rows_arr = ctx["rows"]
+    n = rows_arr.shape[0]
+    q = utils["delta_schema"]["var_row"][delta["positions"]]
+    valid = delta["valid"]
+    nv = jnp.round(delta["values"]).astype(jnp.int32)
+    old = rows_arr[q]
+    z = jnp.zeros_like(nv)
+
+    def upd(counts, old_k, new_k, sent):
+        return (
+            counts
+            .at[jnp.where(valid, old_k, sent)].add(-1, mode="drop")
+            .at[jnp.where(valid, new_k, sent)].add(1, mode="drop")
+        )
+
+    d = (
+        segments.nunique_delta(ctx["counts_r"], jnp.where(valid, old, z),
+                               jnp.where(valid, nv, z), valid)
+        + segments.nunique_delta(ctx["counts_d"],
+                                 jnp.where(valid, q + old, z),
+                                 jnp.where(valid, q + nv, z), valid)
+        + segments.nunique_delta(ctx["counts_a"],
+                                 jnp.where(valid, q - old + (n - 1), z),
+                                 jnp.where(valid, q - nv + (n - 1), z), valid)
+    )
+    return {
+        "rows": rows_arr.at[jnp.where(valid, q, n)].set(nv, mode="drop"),
+        "counts_r": upd(ctx["counts_r"], old, nv, n),
+        "counts_d": upd(ctx["counts_d"], q + old, q + nv, 2 * n - 1),
+        "counts_a": upd(ctx["counts_a"], q - old + (n - 1),
+                        q - nv + (n - 1), 2 * n - 1),
+        "conflicts": ctx["conflicts"] - d,
+    }
 
 
 class CotwinBuilder(CotwinBuilderBase):
@@ -72,5 +157,8 @@ class CotwinBuilder(CotwinBuilderBase):
         )
         calculator = calc_cls(SimpleScore)
         calculator.add_constraint("all_different", all_different)
+        if self.use_incremental_score_calculation:
+            calculator.set_delta_kernels(build_delta_ctx, score_delta,
+                                         update_ctx)
         cotwin.add_score_calculator(calculator)
         return cotwin

@@ -22,7 +22,7 @@ from greyjack_tpu.score_calculation.score_calculators import (
     PlainScoreCalculator,
     IncrementalScoreCalculator,
 )
-from greyjack_tpu.ops import segments, routes
+from greyjack_tpu.ops import segments, routes, moves
 
 
 class CotStop:
@@ -71,6 +71,103 @@ def minimize_distance(planning, facts, utils):
     return (jnp.zeros((), jnp.float64), soft)
 
 
+# --- delta (incremental) kernels ---------------------------------------------
+
+def build_delta_ctx(planning, facts, utils):
+    """O(N) base pass for delta scoring: tour values, value histogram, per-leg
+    distances (integer milli, so delta sums are exact and drift-free), base
+    score components. The TPU analog of the reference ISC's base candidate df
+    (`oop_score_requester.rs:443-463`)."""
+    s = planning["path_stops"]["locations_vec_id"]
+    l = utils["n_locations"]
+    dmf = utils["dm_flat_milli"]
+    n = s.shape[0]
+    counts = jnp.zeros((l,), jnp.int32).at[s].add(1)
+    # legs[i] joins position i-1 -> i; positions -1 and n are the depot (0)
+    sl = jnp.concatenate([jnp.zeros((1,), s.dtype), s])
+    sr = jnp.concatenate([s, jnp.zeros((1,), s.dtype)])
+    legs = dmf[sl * l + sr]  # [N+1]
+    soft_milli = jnp.sum(legs.astype(jnp.int64))
+    hard = (n - jnp.sum(counts > 0)).astype(jnp.int32)
+    return {"s": s, "counts": counts, "legs": legs,
+            "hard": hard, "soft_milli": soft_milli}
+
+
+def _delta_parts(ctx, delta, utils):
+    """Shared O(K) analysis of one delta: changed rows, affected legs, exact
+    n_unique and distance deltas."""
+    delta = moves.dedupe_delta(delta)
+    l = utils["n_locations"]
+    dmf = utils["dm_flat_milli"]
+    s = ctx["s"]
+    n = s.shape[0]
+    rows = utils["delta_schema"]["var_row"][delta["positions"]]
+    valid = delta["valid"]
+    nv = jnp.round(delta["values"]).astype(jnp.int32)
+    old = s[rows]
+
+    d_unique = segments.nunique_delta(
+        ctx["counts"], jnp.where(valid, old, 0), jnp.where(valid, nv, 0),
+        valid)
+
+    # affected legs: rows and rows+1, deduped after sorting
+    sent = jnp.asarray(n + 1, jnp.int32)
+    legids = jnp.concatenate([jnp.where(valid, rows, sent),
+                              jnp.where(valid, rows + 1, sent)])
+    sortedl = jnp.sort(legids)
+    lfirst = jnp.concatenate(
+        [jnp.ones((1,), bool), sortedl[1:] != sortedl[:-1]])
+    lvalid = lfirst & (sortedl <= n)
+    old_leg = ctx["legs"][jnp.minimum(sortedl, n)]
+
+    def patched(j):
+        # tour value at position j after the patch; depot at j=-1 / j=n
+        base_val = jnp.where((j < 0) | (j >= n), 0, s[jnp.clip(j, 0, n - 1)])
+        match = (rows[None, :] == j[:, None]) & valid[None, :]
+        pick = nv[jnp.argmax(match, axis=1)]
+        return jnp.where(jnp.any(match, axis=1), pick, base_val)
+
+    u = patched(sortedl - 1)
+    w = patched(sortedl)
+    new_leg = dmf[jnp.clip(u * l + w, 0, l * l - 1)]
+    d_soft = jnp.sum(
+        jnp.where(lvalid, (new_leg - old_leg).astype(jnp.int64), 0))
+    return {"rows": rows, "valid": valid, "nv": nv, "old": old,
+            "leg_ids": sortedl, "leg_valid": lvalid, "new_leg": new_leg,
+            "d_unique": d_unique, "d_soft": d_soft}
+
+
+def score_delta(ctx, delta, utils):
+    """O(K) neighbour score: exact n_unique delta via the base histogram +
+    distance delta over the <=2K affected legs. Matches the full rescore of
+    the patched tour bit-for-bit (fast-path integer-milli semantics)."""
+    p = _delta_parts(ctx, delta, utils)
+    hard = (ctx["hard"] - p["d_unique"]).astype(jnp.float64)
+    soft = (ctx["soft_milli"] + p["d_soft"]).astype(jnp.float64) / 1000.0
+    return jnp.stack([hard, soft])
+
+
+def update_ctx(ctx, delta, utils):
+    """Apply an accepted delta to the base ctx in O(K) scatters (a delta with
+    no valid entries is the identity)."""
+    p = _delta_parts(ctx, delta, utils)
+    l = utils["n_locations"]
+    n = ctx["s"].shape[0]
+    drop_row = jnp.where(p["valid"], p["rows"], n)
+    s2 = ctx["s"].at[drop_row].set(p["nv"], mode="drop")
+    counts2 = (
+        ctx["counts"]
+        .at[jnp.where(p["valid"], p["old"], l)].add(-1, mode="drop")
+        .at[jnp.where(p["valid"], p["nv"], l)].add(1, mode="drop")
+    )
+    legs2 = ctx["legs"].at[
+        jnp.where(p["leg_valid"], p["leg_ids"], n + 1)
+    ].set(p["new_leg"], mode="drop")
+    return {"s": s2, "counts": counts2, "legs": legs2,
+            "hard": ctx["hard"] - p["d_unique"],
+            "soft_milli": ctx["soft_milli"] + p["d_soft"]}
+
+
 class CotwinBuilder(CotwinBuilderBase):
     def __init__(self, use_incremental_score_calculation=True,
                  use_greed_init=True, exact_fp_scores=False):
@@ -109,13 +206,16 @@ class CotwinBuilder(CotwinBuilderBase):
         )
         calculator = calc_cls(HardSoftScore)
         calculator.add_utility_object("distance_matrix", domain.distance_matrix)
-        calculator.add_utility_object(
-            "distance_matrix_milli",
-            routes.distance_matrix_to_milli(domain.distance_matrix))
+        dm_milli = routes.distance_matrix_to_milli(domain.distance_matrix)
+        calculator.add_utility_object("distance_matrix_milli", dm_milli)
+        calculator.add_utility_object("dm_flat_milli", dm_milli.reshape(-1))
         calculator.add_utility_object("exact_fp_scores", self.exact_fp_scores)
         calculator.add_utility_object("n_locations", n_locations)
         calculator.add_constraint("no_duplicating_stops_constraint",
                                   no_duplicating_stops_constraint)
         calculator.add_constraint("minimize_distance", minimize_distance)
+        if self.use_incremental_score_calculation and not self.exact_fp_scores:
+            calculator.set_delta_kernels(build_delta_ctx, score_delta,
+                                         update_ctx)
         cotwin.add_score_calculator(calculator)
         return cotwin

@@ -110,8 +110,12 @@ def build_common(planning, facts, utils):
         loads = segments.segment_sum(demands, v, utils["k_vehicles"])
     else:
         sorted_c = join.apply_permutation(c, perm)
-        cust_rows, dups = join.iota_table_lookup(
-            utils["cust_packed"], sorted_c, with_dups=True)
+        # direct row gather: measured ~20x faster than the sort-merge join at
+        # population batch shapes (profile 2026-08-18: 380ms merge vs 18ms
+        # gather for [2048, 1000]) — XLA's serial gather beats the
+        # full-width forward-fill cascade once the batch is large
+        cust_rows = utils["cust_packed"][sorted_c]
+        dups = segments.count_minus_n_unique(c, utils["n_locations"])
         dist, lateness = routes.vrp_routes_packed(
             sorted_v, sorted_c, utils["dm_flat_milli"],
             utils["n_locations"], utils["k_vehicles"],

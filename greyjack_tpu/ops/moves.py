@@ -230,6 +230,212 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     return new_candidate, info
 
 
+def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_state):
+    """One randomly-drawn move in DELTA form: no [V] vector is materialized.
+
+    Returns (delta, info) with delta = {"positions": i32[KD],
+    "values": float[KD], "valid": bool[KD]} — the changed variables and
+    their new values (KD = `config.DELTA_MOVE_SIZE`). This is the TPU
+    counterpart of the reference's incremental sampler, which returns
+    per-neighbour (var_id, new_value) lists
+    (`tabu_search_base.rs:107-137`, `mover.rs:145-421` incremental arms).
+
+    Move semantics match `do_move` with one documented divergence:
+    insertion/inverse windows are capped at KD-1 (the second endpoint is
+    drawn as a ±U{1..KD-1} offset from the first instead of an independent
+    uniform id), keeping every move's changed set statically bounded.
+    Duplicate positions (swap_edges overlaps) always carry equal values, so
+    scatter application is well-defined.
+    """
+    k_max = config.MAX_MOVE_SIZE
+    kd = config.DELTA_MOVE_SIZE
+    lmax = cfg.max_group_size
+    n_vars = vm.variables_count
+    (k_move, k_group, k_count, k_sel, k_len, k_start, k_perm, k_res) = \
+        jax.random.split(key, 8)
+
+    u_move = jax.random.uniform(k_move, (), dtype=jnp.float64)
+    move_type = jnp.sum(cfg.thresholds < u_move).astype(jnp.int32)
+
+    g = jax.random.randint(k_group, (), 0, max(1, cfg.n_groups))
+    length = vm.group_sizes[g].astype(jnp.int32)
+    members_row = vm.group_members[g]
+    rate = cfg.group_rates[g]
+
+    c_raw = jnp.sum(
+        jax.random.uniform(k_count, (n_vars,), dtype=jnp.float32)
+        < rate.astype(jnp.float32)
+    ).astype(jnp.int32)
+    c_change = jnp.clip(jnp.maximum(c_raw, 1), 1, k_max)
+    c_swap = jnp.clip(jnp.maximum(c_raw, 2), 2, k_max)
+    c_edges = jnp.clip(jnp.maximum(c_raw, 2), 2,
+                       jnp.maximum(jnp.minimum(length - 1, k_max), 2))
+    k_scr = jax.random.randint(k_len, (), config.SCRAMBLE_MIN,
+                               config.SCRAMBLE_MAX + 1)
+
+    is_edges = move_type == 2
+    sel_limit = jnp.where(is_edges, length - 1, length)
+    tabu_mask = None
+    if cfg.use_tabu:
+        tabu_mask = selection.tabu_mask_for_group(tabu_state, g,
+                                                  cfg.tabu_sizes, lmax)
+    sel = selection.gumbel_topk_positions(k_sel, sel_limit, k_max, tabu_mask,
+                                          lmax)
+    sel_vars = members_row[sel]
+    sel_next_vars = members_row[jnp.minimum(sel + 1, lmax - 1)]
+
+    # padded member row: dynamic slices near the group end stay aligned
+    # (slice starts are never clamped) and rows shorter than the slice width
+    # still trace; out-of-group slots repeat the last member and are always
+    # masked by `valid`
+    mr_pad = jnp.concatenate(
+        [members_row, jnp.broadcast_to(members_row[-1], (kd,))])
+
+    # scramble window start
+    start_limit = jnp.maximum(length - k_scr, 1)
+    u_start = jax.random.uniform(k_start, (), dtype=jnp.float32)
+    start = jnp.floor(u_start * start_limit).astype(jnp.int32)
+    w_vars = jax.lax.dynamic_slice(mr_pad, (start,), (config.SCRAMBLE_MAX,))
+
+    # capped insertion/inverse window: a = sel[0]; b = a +- U{1..KD-1}
+    k_off, k_sign = jax.random.split(k_perm)
+    a = sel[0]
+    off = jax.random.randint(k_off, (), 1, kd)
+    sign = jax.random.bernoulli(k_sign, 0.5)
+    b = jnp.clip(jnp.where(sign, a + off, a - off), 0, length - 1)
+    lo = jnp.minimum(a, b)
+    r = jnp.abs(a - b)  # inclusive window is [lo, lo + r], r <= kd - 1
+    wm = jax.lax.dynamic_slice(mr_pad, (lo,), (kd,))
+
+    noop0 = length < c_change
+    noop1 = length < c_swap
+    noop2 = length < 3
+    noop3 = length <= k_scr
+    noop45 = (length <= 1) | (r == 0)
+
+    jj = jnp.arange(kd, dtype=jnp.int32)
+    v_oob = jnp.asarray(n_vars, jnp.int32)
+
+    is01 = (move_type == 0) | (move_type == 1)
+    pad_sel = jnp.concatenate([sel_vars, jnp.full((kd - k_max,), 0, jnp.int32)])
+    pad_w = jnp.concatenate(
+        [w_vars, jnp.zeros((kd - config.SCRAMBLE_MAX,), jnp.int32)])
+    pos2 = jnp.concatenate([sel_vars, sel_next_vars])
+    positions = jnp.where(
+        is01, pad_sel,
+        jnp.where(move_type == 2, pos2,
+                  jnp.where(move_type == 3, pad_w, wm)))
+
+    cand_at = candidate[positions]  # [KD] — the only O(KD) candidate gather
+
+    # --- per-type new values over cand_at ------------------------------------
+    # 0: resample U[lb, ub)
+    lo_b = vm.lower_bounds[positions].astype(candidate.dtype)
+    hi_b = vm.upper_bounds[positions].astype(candidate.dtype)
+    disc = vm.discrete_mask[positions]
+    u = jax.random.uniform(k_res, (kd,), dtype=candidate.dtype)
+    vals0 = lo_b + u * (hi_b - lo_b)
+    # 1: left-rotate the first c_swap values
+    vals1 = cand_at[(jj + 1) % jnp.maximum(c_swap, 1)]
+    # 2: sequential swap-chain simulated on the local view (positions may
+    # alias; aliased slots hold equal values throughout)
+    vals2 = cand_at
+    for i in range(1, k_max):
+        en = i < c_edges
+        cm = jnp.maximum(c_edges, 1)
+        prev_i = jnp.asarray(i, jnp.int32) % cm
+        cur_i = jnp.asarray(i + 1, jnp.int32) % cm
+        for (xa, xb) in ((prev_i, cur_i), (prev_i + k_max, cur_i + k_max)):
+            x = positions[xa]
+            y = positions[xb]
+            vx = vals2[jnp.argmax(positions == x)]
+            vy = vals2[jnp.argmax(positions == y)]
+            swap_to = jnp.where(positions == x, vy,
+                                jnp.where(positions == y, vx, vals2))
+            vals2 = jnp.where(en, swap_to, vals2)
+    # 3: scramble — permute the first k_scr window values
+    perm = selection.random_permutation_positions(
+        jax.random.fold_in(k_perm, 1), config.SCRAMBLE_MAX, k_scr)
+    perm_kd = jnp.concatenate(
+        [perm, jnp.arange(config.SCRAMBLE_MAX, kd, dtype=jnp.int32)])
+    vals3 = cand_at[perm_kd]
+    # 4: rotation of [0, r]: left when a < b, right when a > b
+    src_left = jnp.where(jj == r, 0, jnp.minimum(jj + 1, kd - 1))
+    src_right = jnp.where(jj == 0, r, jnp.maximum(jj - 1, 0))
+    src4 = jnp.where(a < b, src_left, src_right)
+    vals4 = cand_at[src4]
+    # 5: reversal of [0, r]
+    vals5 = cand_at[jnp.clip(r - jj, 0, kd - 1)]
+
+    values = jnp.where(
+        move_type == 0, vals0,
+        jnp.where(move_type == 1, vals1,
+                  jnp.where(move_type == 2, vals2,
+                            jnp.where(move_type == 3, vals3,
+                                      jnp.where(move_type == 4, vals4,
+                                                vals5)))))
+    # per-target fix: clamp + rint for discrete (`variables_manager.rs:187-201`)
+    values = jnp.clip(values, lo_b, hi_b)
+    values = jnp.where(disc, jnp.round(values), values)
+
+    valid0 = (jj < c_change) & ~noop0
+    valid1 = (jj < c_swap) & ~noop1
+    valid2 = (jnp.where(jj < k_max, jj, jj - k_max) < c_edges) & ~noop2
+    valid3 = (jj < k_scr) & ~noop3
+    valid45 = (jj <= r) & ~noop45
+    valid = jnp.where(
+        move_type == 0, valid0,
+        jnp.where(move_type == 1, valid1,
+                  jnp.where(move_type == 2, valid2,
+                            jnp.where(move_type == 3, valid3, valid45))))
+
+    tabu_positions = jnp.where(move_type == 3, start * jnp.ones_like(sel), sel)
+    tabu_count = jnp.where(
+        move_type == 3, 1,
+        jnp.stack([c_change, c_swap, c_edges, jnp.int32(1), jnp.int32(2),
+                   jnp.int32(2)])[move_type],
+    )
+    info = {"group": g, "positions": tabu_positions, "count": tabu_count}
+    delta = {"positions": positions, "values": values, "valid": valid}
+    return delta, info
+
+
+def move_population_delta(key, base, n_neighbours, vm, cfg: MoverConfig,
+                          tabu_state):
+    """n_neighbours independent delta moves off one base candidate f[V].
+
+    Returns (delta, info) with leading [n_neighbours] axes — no [n, V]
+    neighbour matrix is ever materialized.
+    """
+    keys = jax.random.split(key, n_neighbours)
+
+    def one(k):
+        return do_move_delta(k, base, vm, cfg, tabu_state)
+
+    return jax.vmap(one)(keys)
+
+
+def dedupe_delta(delta):
+    """Mask out later duplicates of the same position (swap_edges aliasing;
+    duplicates always carry equal values, so dropping them is exact).
+    Required before histogram-style delta math (`segments.nunique_delta`)
+    so one changed variable contributes one event. O(K^2) masked compare."""
+    pos = delta["positions"]
+    k = pos.shape[0]
+    idx = jnp.arange(k)
+    eq = (pos[:, None] == pos[None, :]) & delta["valid"][:, None] \
+        & delta["valid"][None, :]
+    earlier_dup = jnp.any(eq & (idx[None, :] < idx[:, None]), axis=1)
+    return {**delta, "valid": delta["valid"] & ~earlier_dup}
+
+
+def apply_delta(base, delta):
+    """Materialize one delta: base.at[positions].set(values) where valid."""
+    pos = jnp.where(delta["valid"], delta["positions"],
+                    jnp.asarray(base.shape[-1], jnp.int32))
+    return base.at[pos].set(delta["values"].astype(base.dtype), mode="drop")
+
+
 def move_population(key, population, vm, cfg: MoverConfig, tabu_state):
     """Vmapped `do_move` over a population f32/f64[P, V].
 

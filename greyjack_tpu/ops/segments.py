@@ -37,6 +37,38 @@ def segment_count(segment_ids, num_segments):
     return jnp.bincount(segment_ids, length=num_segments)
 
 
+def nunique_delta(counts, old_vals, new_vals, valid):
+    """Exact change in n_unique when `old_vals[valid]` are replaced in-place
+    by `new_vals[valid]`, given the base value histogram `counts` (i32[L]).
+
+    The delta-scoring replacement for re-bincounting a whole column after a
+    K-variable move: per distinct touched value v with base count c and net
+    occupancy change d, n_unique changes by (c+d > 0) - (c > 0). K is tiny
+    (DELTA_MOVE_SIZE), so the distinct-value grouping is an O(K^2) masked
+    compare — cheaper and fusion-friendlier than sorting on this scale.
+
+    Values must lie in [0, L). Returns an i32 scalar delta.
+    """
+    l = counts.shape[0]
+    k = old_vals.shape[0]
+    sent = jnp.asarray(l, jnp.int32)
+    vals = jnp.concatenate([
+        jnp.where(valid, old_vals.astype(jnp.int32), sent),
+        jnp.where(valid, new_vals.astype(jnp.int32), sent),
+    ])
+    d = jnp.concatenate([
+        jnp.where(valid, -1, 0), jnp.where(valid, 1, 0),
+    ]).astype(jnp.int32)
+    eq = vals[:, None] == vals[None, :]
+    net = jnp.sum(jnp.where(eq, d[None, :], 0), axis=1)
+    idx = jnp.arange(2 * k)
+    earlier_dup = jnp.any(eq & (idx[None, :] < idx[:, None]), axis=1)
+    cb = counts[jnp.minimum(vals, l - 1)]
+    contrib = ((cb + net) > 0).astype(jnp.int32) - (cb > 0).astype(jnp.int32)
+    mask = ~earlier_dup & (vals < l)
+    return jnp.sum(jnp.where(mask, contrib, 0)).astype(jnp.int32)
+
+
 def overflow_penalty(demands, segment_ids, capacities, num_segments):
     """Capacity-overflow penalty: sum over segments of max(0, load - cap).
 

@@ -64,7 +64,7 @@ class IslandRunner:
         v = islands["population"].shape[-1]
         state = {
             "islands": islands,
-            "global_values": jnp.zeros((v,), jnp.float64),
+            "global_values": jnp.zeros((v,), islands["population"].dtype),
             "global_score": lexico.stub_score_row(s),
         }
         if self.mesh is not None:
@@ -152,7 +152,8 @@ class IslandRunner:
             state["islands"], key, alive, extras, n_steps, self.n_islands
         )
         islands = self._migrate(islands, roll_fn=lambda x: jnp.roll(x, 1, axis=0))
-        return self._update_global(state, islands, gather_fn=None)
+        state = self._update_global(state, islands, gather_fn=None)
+        return self._refresh(state)
 
     def _chunk_sharded(self, state, key, alive, extras, n_steps):
         axis = "islands"
@@ -178,7 +179,18 @@ class IslandRunner:
                 jax.lax.all_gather(tops_s, axis, tiled=True),
             )
 
-        return self._update_global(state, islands, gather_fn=gather_fn)
+        state = self._update_global(state, islands, gather_fn=gather_fn)
+        return self._refresh(state)
+
+    def _refresh(self, state):
+        """Re-derive population-dependent state (delta-scoring ctx) after
+        migration / global-best adoption replaced individuals — once per
+        chunk (amortized O(N))."""
+        if self.kernel.refresh is None:
+            return state
+        state = dict(state)
+        state["islands"] = jax.vmap(self.kernel.refresh)(state["islands"])
+        return state
 
     def _migrate(self, islands, roll_fn):
         """Ring exchange + acceptance (`agent_base.rs:322-444`)."""

@@ -83,15 +83,52 @@ class PlainScoreCalculator:
 
 
 class IncrementalScoreCalculator(PlainScoreCalculator):
-    """API-parity alias for the reference's delta-df calculator
-    (`incremental_score_calculator.rs:8-104`).
+    """Delta (incremental) scoring — the reference's delta-df calculator
+    (`incremental_score_calculator.rs:8-104`) re-mapped to device arrays.
 
-    On TPU the batched plain path IS the fast path: the reference's delta
-    machinery exists only to dodge per-step dataframe rebuild costs
-    (`oop_score_requester.rs:384-441`), which have no analog here — every
-    candidate is re-scored by fused kernels at full population width. The
-    class exists so cotwin builders written against the reference API port
-    1:1; constraints use the plain signature.
+    The reference hands each constraint `delta_dfs` (one row per changed
+    variable per sample, `oop_score_requester.rs:384-441`). The TPU
+    formulation is a kernel pair registered by the model:
+
+        build_ctx(planning, facts, utils) -> ctx
+            full O(N) pass over ONE base candidate per step: value
+            histograms, route legs, per-vehicle structures, base score
+            components — everything the deltas difference against.
+        score_delta(ctx, delta, utils) -> f64[S]
+            O(K) per neighbour (vmapped over the whole neighbourhood):
+            delta = {"positions": i32[K] flat var ids,
+                     "values": float[K], "valid": bool[K]}.
+
+    Local-search agents (TabuSearch/LateAcceptance/SimulatedAnnealing) use
+    the pair when present: the per-step cost drops from
+    O(neighbours * N log N) to O(N log N + neighbours * K), which is the
+    reference's own incremental insight (~5x nqueens, ~20x VRP on CPU —
+    `examples/vrp/src/score/incremental_score_calculator.rs:21-26`) and the
+    route to the BASELINE scored-moves/s target. Population agents
+    (GA/LSHADE) always full-score — every candidate is new (the reference
+    GA panics on incremental mode, `genetic_algorithm_base.rs:189-196`).
+
+    Falls back to the plain batched path when no kernels are registered.
     """
 
     is_incremental = True
+
+    def __init__(self, score_class):
+        super().__init__(score_class)
+        self.delta_ctx_fn = None
+        self.delta_score_fn = None
+        self.delta_update_fn = None
+
+    def set_delta_kernels(self, build_ctx, score_delta, update_ctx):
+        """Register the delta kernel triple. `update_ctx(ctx, delta, utils)`
+        applies one ACCEPTED delta to the ctx in O(K) (identity when the
+        delta has no valid entries) — local-search steps never re-run the
+        O(N) base pass; the ctx lives in agent state and is only rebuilt
+        when migration swaps the base candidate."""
+        self.delta_ctx_fn = build_ctx
+        self.delta_score_fn = score_delta
+        self.delta_update_fn = update_ctx
+
+    @property
+    def has_delta_kernels(self):
+        return self.delta_ctx_fn is not None

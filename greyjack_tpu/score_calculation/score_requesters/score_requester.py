@@ -109,6 +109,61 @@ class ScoreRequester:
         self.score_size = cotwin.score_calculator.score_size
         self.score_class = cotwin.score_calculator.score_class
 
+        # delta schema: flat var id -> (entity row, planning-column index)
+        # inside its group — the TPU analog of the reference's var_id ->
+        # (df, column, row) map (`oop_score_requester.rs:357-382`)
+        var_row = np.zeros(len(variables), dtype=np.int32)
+        var_col = np.zeros(len(variables), dtype=np.int32)
+        for schema in self.planning_schema.values():
+            planning_cols = [c for c, kind in schema["columns"]
+                             if kind == "planning"]
+            for ci, col in enumerate(planning_cols):
+                ids = np.asarray(schema["var_ids"][col])
+                var_row[ids] = np.arange(len(ids), dtype=np.int32)
+                var_col[ids] = ci
+        self.var_row = jnp.asarray(var_row)
+        self.var_col = jnp.asarray(var_col)
+
+    # --- delta (incremental) path --------------------------------------------
+    @property
+    def supports_delta(self):
+        calc = self.cotwin.score_calculator
+        return bool(getattr(calc, "has_delta_kernels", False))
+
+    def _delta_utils(self):
+        calc = self.cotwin.score_calculator
+        utils = dict(calc.utility_objects)
+        utils["delta_schema"] = {"var_row": self.var_row,
+                                 "var_col": self.var_col}
+        return utils
+
+    def build_base_ctx(self, base_row):
+        """One O(N) pass over the base candidate f[V] -> model ctx pytree.
+        Run once per local-search step; neighbours score against it."""
+        calc = self.cotwin.score_calculator
+        frames = self.build_frames(base_row)
+        return calc.delta_ctx_fn(frames, self.fact_frames, self._delta_utils())
+
+    def request_score_delta(self, ctx, deltas):
+        """Score a whole neighbourhood of deltas against one base ctx.
+
+        deltas: {"positions": i32[n, K], "values": f[n, K],
+                 "valid": bool[n, K]} -> f64[n, S].
+        """
+        calc = self.cotwin.score_calculator
+        utils = self._delta_utils()
+
+        def one(delta):
+            return calc.delta_score_fn(ctx, delta, utils)
+
+        return jax.vmap(one)(deltas)
+
+    def update_ctx(self, ctx, delta):
+        """Apply one accepted delta to the ctx (O(K); identity when the
+        delta has no valid entries)."""
+        calc = self.cotwin.score_calculator
+        return calc.delta_update_fn(ctx, delta, self._delta_utils())
+
     # --- frames -------------------------------------------------------------
     def build_frames(self, population):
         """population f64[..., V] -> {group: {col: typed [..., n_entities]}}.
