@@ -31,7 +31,7 @@ from greyjack_tpu.score_calculation.score_calculators import (
     PlainScoreCalculator,
     IncrementalScoreCalculator,
 )
-from greyjack_tpu.ops import segments, routes, join
+from greyjack_tpu.ops import segments, routes, join, moves, lexico
 
 
 class CotStop:
@@ -153,6 +153,281 @@ def minimize_distance(planning, facts, utils):
 def late_arrival_penalty(planning, facts, utils):
     z = jnp.zeros((), jnp.float64)
     return (z, utils["route_lateness"], z)
+
+
+# --- delta (incremental) kernels ---------------------------------------------
+# The reference's fused incremental VRP scorer patches the base tour with the
+# delta rows and re-walks the routes in Rust (~20x over plain,
+# `examples/vrp/src/score/incremental_score_calculator.rs:21-26,55-139`). TPU
+# formulation: the ctx carries per-vehicle ROUTE BUFFERS [k, R] in stable
+# (vehicle, stop-index) order — the stop index as sort key plus the per-stop
+# facts (customer id, demand, service time, window floor/end) as PAYLOAD
+# columns, so a neighbour re-walks only the <= 2*DELTA_MOVE_SIZE routes its
+# changed stops touch at static width R + DELTA_MOVE_SIZE with NO random
+# fact gathers: removals/patches are O(K) scatters at positions read from
+# `ctx["pos"]`, insertions ride a variadic `lax.sort`, and the only
+# full-width gather left is the chain-leg distance lookup.
+#
+# R (`route_cap`) is a static per-instance bound on route length. Any
+# neighbour that would grow a route beyond R scores as the stub (worst)
+# score and is therefore never accepted — a documented divergence from the
+# plain path, unreachable in practice (R >= 8x the mean route length, and
+# capacity hard penalties repel long routes; instances with <= 64 stops or
+# route_cap == n_stops are exact by construction).
+
+_PAYLOAD_KEYS = ("r_stop", "r_c", "r_dem", "r_ct", "r_floor", "r_ce")
+
+
+def _route_cap(n_stops, k):
+    return int(min(n_stops, max(64, -(-8 * n_stops // k))))
+
+
+def _payload_from_customers(cids, utils):
+    """(c, demand, service, floor=tw_start+service, tw_end) for customer ids."""
+    crows = utils["cust_packed"][cids]
+    dem = crows[..., 0]
+    cs = crows[..., 1]
+    ce = crows[..., 2]
+    ct = crows[..., 3]
+    return cids, dem, ct, cs + ct, ce
+
+
+def _buffer_metrics(bufs, veh_ids, utils):
+    """Per-route metrics straight off payload buffers.
+
+    bufs: dict of i32[A, W] arrays (`_PAYLOAD_KEYS`), rows sorted by r_stop
+    with sentinel n_stops padding (valid entries form a prefix); veh_ids:
+    i32[A]. Returns (dist i64[A], late i64[A], load i32[A], length i32[A])
+    with per-vehicle semantics identical to `routes.vrp_routes_packed`.
+    """
+    l = utils["n_locations"]
+    dmf = utils["dm_flat_milli"]
+    n = utils["n_stops"]
+    key = bufs["r_stop"]
+    rc = bufs["r_c"]
+    a, wd = key.shape
+    valid = key < n
+    length = jnp.sum(valid, axis=1).astype(jnp.int32)
+    has = length > 0
+    load = jnp.sum(jnp.where(valid, bufs["r_dem"], 0), axis=1).astype(
+        jnp.int32)
+
+    legs = dmf[rc[:, :-1] * l + rc[:, 1:]]
+    legs = jnp.where(valid[:, 1:], legs, 0)
+    depots = utils["vehicle_depot_ids"][veh_ids].astype(jnp.int32)
+    first = rc[:, 0]
+    last_idx = jnp.maximum(length - 1, 0)
+    last = jnp.take_along_axis(rc, last_idx[:, None], axis=1)[:, 0]
+    ends = (dmf[depots * l + first].astype(jnp.int64)
+            + dmf[last * l + depots].astype(jnp.int64))
+    dist = jnp.where(has, ends + jnp.sum(legs.astype(jnp.int64), axis=1), 0)
+
+    if not utils["time_windowed"]:
+        return dist, jnp.zeros((a,), jnp.int64), load, length
+
+    big = jnp.asarray(1 << 30, jnp.int32)
+    ct = bufs["r_ct"]
+    floor = bufs["r_floor"]
+    ce = bufs["r_ce"]
+    w0 = utils["work_day_start_k"][veh_ids].astype(jnp.int32)
+    w1 = utils["work_day_end_k"][veh_ids].astype(jnp.int32)
+    slot0 = jnp.arange(wd)[None, :] == 0
+    adds = jnp.where(slot0, -big, jnp.where(valid, ct, 0))
+    floors = jnp.where(slot0, jnp.maximum(w0[:, None] + ct, floor),
+                       jnp.where(valid, floor, -big))
+    post = routes._maxplus_scan(adds, floors)
+    late = jnp.where(valid, jnp.maximum(post - ce, 0), 0)
+    post_last = jnp.take_along_axis(post, last_idx[:, None], axis=1)[:, 0]
+    overtime = jnp.where(has, jnp.maximum(post_last - w1, 0), 0)
+    late_total = (jnp.sum(late.astype(jnp.int64), axis=1)
+                  + overtime.astype(jnp.int64))
+    return dist, late_total, load, length
+
+
+def build_delta_ctx(planning, facts, utils):
+    """O(N) base pass: payload route buffers + per-vehicle metrics + totals."""
+    stops = planning["planning_stops"]
+    v = stops["vehicle_id"].astype(jnp.int32)
+    c = stops["customer_id"].astype(jnp.int32)
+    n = v.shape[0]
+    l = utils["n_locations"]
+    k = utils["k_vehicles"]
+    r = utils["route_cap"]
+
+    counts = jnp.zeros((l,), jnp.int32).at[c].add(1)
+    dups = (n - jnp.sum(counts > 0)).astype(jnp.int32)
+
+    sorted_v, perm = routes.sort_stops_by_vehicle(v)
+    posi = jnp.arange(n, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_v[1:] != sorted_v[:-1]])
+    first_pos = jnp.zeros((k,), jnp.int32).at[
+        jnp.where(is_first, sorted_v, k)].set(posi, mode="drop")
+    rank = posi - first_pos[jnp.minimum(sorted_v, k - 1)]
+    rank_c = jnp.minimum(rank, r - 1)
+    r_stop = jnp.full((k, r), n, jnp.int32).at[
+        sorted_v, rank_c].set(perm, mode="drop")
+    pos = jnp.zeros((n,), jnp.int32).at[perm].set(rank_c)
+
+    cid, dem, ct, floor, ce = _payload_from_customers(c[perm], utils)
+    zero = jnp.zeros((k, r), jnp.int32)
+    bufs = {"r_stop": r_stop}
+    for name, col in (("r_c", cid), ("r_dem", dem), ("r_ct", ct),
+                      ("r_floor", floor), ("r_ce", ce)):
+        bufs[name] = zero.at[sorted_v, rank_c].set(col, mode="drop")
+
+    veh_ids = jnp.arange(k, dtype=jnp.int32)
+    dist, late, load, length = _buffer_metrics(bufs, veh_ids, utils)
+    overflow = jnp.maximum(load - utils["capacities"], 0).astype(jnp.int64)
+    return {"v": v, "c": c, "counts": counts, "dups": dups, "pos": pos,
+            **bufs,
+            "dist": dist, "late": late, "load": load, "len": length,
+            "sum_dist": jnp.sum(dist), "sum_late": jnp.sum(late),
+            "sum_overflow": jnp.sum(overflow)}
+
+
+def _delta_parts(ctx, delta, utils):
+    """Shared O(K) analysis of one delta: per-row patched (vehicle, customer)
+    values, affected-route payload rebuild, exact metric deltas."""
+    delta = moves.dedupe_delta(delta)
+    schema = utils["delta_schema"]
+    k = utils["k_vehicles"]
+    r = utils["route_cap"]
+    n = ctx["v"].shape[0]
+    kd = delta["positions"].shape[0]
+
+    rows = schema["var_row"][delta["positions"]]
+    cols = schema["var_col"][delta["positions"]]
+    valid = delta["valid"]
+    nv = jnp.round(delta["values"]).astype(jnp.int32)
+    is_veh = cols == 0
+
+    # row-representative dedupe + per-row patched values (a row may have
+    # both its vehicle and customer vars in the delta)
+    rid = jnp.where(valid, rows, n)
+    idx = jnp.arange(kd)
+    eqr = rid[:, None] == rid[None, :]
+    rep = valid & ~jnp.any(eqr & (idx[None, :] < idx[:, None]), axis=1)
+    veh_match = eqr & is_veh[None, :] & valid[None, :]
+    cust_match = eqr & (~is_veh)[None, :] & valid[None, :]
+    old_v = ctx["v"][rows]
+    old_c = ctx["c"][rows]
+    new_v = jnp.where(jnp.any(veh_match, axis=1),
+                      nv[jnp.argmax(veh_match, axis=1)], old_v)
+    new_c = jnp.where(jnp.any(cust_match, axis=1),
+                      nv[jnp.argmax(cust_match, axis=1)], old_c)
+
+    d_unique = segments.nunique_delta(ctx["counts"], old_c, new_c, rep)
+    new_dups = ctx["dups"] - d_unique
+
+    # affected vehicles (old of every changed row, new of moved rows), deduped
+    veh_changed = rep & (new_v != old_v)
+    av = jnp.concatenate([jnp.where(rep, old_v, k),
+                          jnp.where(veh_changed, new_v, k)])
+    idxa = jnp.arange(2 * kd)
+    eqa = av[:, None] == av[None, :]
+    arep = (av < k) & ~jnp.any(eqa & (idxa[None, :] < idxa[:, None]), axis=1)
+    av_safe = jnp.minimum(av, k - 1)
+    # affected-list slot of each rep row's OLD vehicle (its arep occurrence)
+    old_v_at = (av[None, :] == old_v[:, None]) & arep[None, :]   # [KD, 2KD]
+    a_of_row = jnp.argmax(old_v_at, axis=1).astype(jnp.int32)
+
+    # rebuild affected routes on payload buffers: patch changed customers at
+    # their known slots, clear moved-away stops, append moved-in stops,
+    # one variadic sort by stop index (== stable (vehicle, index) order)
+    slot_of_row = ctx["pos"][rows]
+    a2 = 2 * kd
+    patch_a = jnp.where(rep, a_of_row, a2)
+    clear_a = jnp.where(veh_changed, a_of_row, a2)
+    npay = _payload_from_customers(new_c, utils)
+    base = {name: ctx[name][av_safe] for name in _PAYLOAD_KEYS}
+    base["r_stop"] = base["r_stop"].at[clear_a, slot_of_row].set(
+        n, mode="drop")
+    for name, col in zip(_PAYLOAD_KEYS[1:], npay):
+        base[name] = base[name].at[patch_a, slot_of_row].set(col, mode="drop")
+
+    ins_here = veh_changed[None, :] & (new_v[None, :] == av[:, None])
+    ins = {"r_stop": jnp.where(ins_here, rows[None, :], n)}
+    for name, col in zip(_PAYLOAD_KEYS[1:], npay):
+        ins[name] = jnp.broadcast_to(col[None, :], (a2, kd))
+
+    operands = tuple(
+        jnp.concatenate([base[name], ins[name]], axis=1)
+        for name in _PAYLOAD_KEYS)
+    sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=1,
+                              is_stable=False)
+    bufs = dict(zip(_PAYLOAD_KEYS, sorted_ops))
+
+    dist, late, load, length = _buffer_metrics(bufs, av_safe, utils)
+
+    cap_a = utils["capacities"][av_safe]
+    m = arep
+    d_dist = jnp.sum(jnp.where(m, dist - ctx["dist"][av_safe], 0))
+    d_late = jnp.sum(jnp.where(m, late - ctx["late"][av_safe], 0))
+    d_over = jnp.sum(jnp.where(
+        m,
+        jnp.maximum(load - cap_a, 0).astype(jnp.int64)
+        - jnp.maximum(ctx["load"][av_safe] - cap_a, 0).astype(jnp.int64),
+        0))
+    over_cap = jnp.any(m & (length > r))
+    return {"rows": rows, "rep": rep, "new_v": new_v, "new_c": new_c,
+            "old_c": old_c, "av": av, "arep": arep, "bufs": bufs,
+            "dist": dist, "late": late, "load": load, "len": length,
+            "d_dist": d_dist, "d_late": d_late, "d_over": d_over,
+            "new_dups": new_dups, "over_cap": over_cap}
+
+
+def score_delta(ctx, delta, utils):
+    """O(K)-per-neighbour score, bitwise-equal to the plain fast path."""
+    p = _delta_parts(ctx, delta, utils)
+    hard = (1000.0 * p["new_dups"].astype(jnp.float64)
+            + (ctx["sum_overflow"] + p["d_over"]).astype(jnp.float64))
+    medium = (ctx["sum_late"] + p["d_late"]).astype(jnp.float64)
+    soft = (ctx["sum_dist"] + p["d_dist"]).astype(jnp.float64) / 1000.0
+    row = jnp.stack([hard, medium, soft])
+    return jnp.where(p["over_cap"], lexico.stub_score_row(3), row)
+
+
+def update_ctx(ctx, delta, utils):
+    """Apply one ACCEPTED delta to the ctx (identity for all-invalid
+    deltas; over-cap deltas are never accepted — their score is the stub)."""
+    p = _delta_parts(ctx, delta, utils)
+    k = utils["k_vehicles"]
+    l = utils["n_locations"]
+    r = utils["route_cap"]
+    n = ctx["v"].shape[0]
+    rowsel = jnp.where(p["rep"], p["rows"], n)
+    vehsel = jnp.where(p["arep"], p["av"], k)
+    out = dict(ctx)
+    out["v"] = ctx["v"].at[rowsel].set(p["new_v"], mode="drop")
+    out["c"] = ctx["c"].at[rowsel].set(p["new_c"], mode="drop")
+    out["counts"] = (
+        ctx["counts"]
+        .at[jnp.where(p["rep"], p["old_c"], l)].add(-1, mode="drop")
+        .at[jnp.where(p["rep"], p["new_c"], l)].add(1, mode="drop"))
+    out["dups"] = p["new_dups"]
+    # zero payloads in sentinel slots so the updated ctx is leaf-identical
+    # to a fresh `build_delta_ctx` of the patched candidate (tested invariant)
+    new_stop_r = p["bufs"]["r_stop"][:, :r]
+    valid_r = new_stop_r < n
+    out["r_stop"] = ctx["r_stop"].at[vehsel].set(new_stop_r, mode="drop")
+    for name in _PAYLOAD_KEYS[1:]:
+        out[name] = ctx[name].at[vehsel].set(
+            jnp.where(valid_r, p["bufs"][name][:, :r], 0), mode="drop")
+    # slots shifted inside every affected route: rewrite pos for their stops
+    new_stop = p["bufs"]["r_stop"][:, :r]
+    slot_idx = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :],
+                                new_stop.shape)
+    pos_tgt = jnp.where((new_stop < n) & p["arep"][:, None], new_stop, n)
+    out["pos"] = ctx["pos"].at[pos_tgt].set(slot_idx, mode="drop")
+    out["dist"] = ctx["dist"].at[vehsel].set(p["dist"], mode="drop")
+    out["late"] = ctx["late"].at[vehsel].set(p["late"], mode="drop")
+    out["load"] = ctx["load"].at[vehsel].set(p["load"], mode="drop")
+    out["len"] = ctx["len"].at[vehsel].set(p["len"], mode="drop")
+    out["sum_dist"] = ctx["sum_dist"] + p["d_dist"]
+    out["sum_late"] = ctx["sum_late"] + p["d_late"]
+    out["sum_overflow"] = ctx["sum_overflow"] + p["d_over"]
+    return out
 
 
 # --- greedy init (device) ---------------------------------------------------
@@ -327,6 +602,8 @@ class CotwinBuilder(CotwinBuilderBase):
                 "service_time",
                 jnp.asarray(np.array([c.service_time for c in cust], np.int32)))
 
+        calculator.add_utility_object("route_cap", _route_cap(n_stops, k))
+        calculator.add_utility_object("n_stops", n_stops)
         calculator.add_prescoring_function("build_common", build_common)
         calculator.add_constraint("no_duplicating_stops_constraint",
                                   no_duplicating_stops_constraint)
@@ -335,5 +612,8 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator.add_constraint("late_arrival_penalty", late_arrival_penalty)
         if not domain.time_windowed:
             calculator.remove_constraint("late_arrival_penalty")
+        if self.use_incremental_score_calculation and not self.exact_fp_scores:
+            calculator.set_delta_kernels(build_delta_ctx, score_delta,
+                                         update_ctx)
         cotwin.add_score_calculator(calculator)
         return cotwin

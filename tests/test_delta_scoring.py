@@ -37,6 +37,17 @@ def _tsp_requester(n=24, seed=3):
     return ScoreRequester(cotwin)
 
 
+def _vrp_requester(n=30, k=4, seed=2, time_windowed=True):
+    from greyjack_tpu.models.vrp import CotwinBuilder
+    from greyjack_tpu.models.vrp.domain import generate_instance
+
+    domain = generate_instance(n_customers=n, n_depots=2, k_vehicles=k,
+                               seed=seed, time_windowed=time_windowed)
+    cotwin = CotwinBuilder(use_incremental_score_calculation=True,
+                           use_greed_init=False).build_cotwin(domain, False)
+    return ScoreRequester(cotwin)
+
+
 def _nqueens_requester(n=16, seed=5):
     from greyjack_tpu.models.nqueens import CotwinBuilder, DomainBuilder
 
@@ -94,6 +105,28 @@ def test_tsp_delta_parity(move_probas):
     req = _tsp_requester()
     assert req.supports_delta
     _check_parity(req, key=11, move_probas=move_probas)
+
+
+@pytest.mark.parametrize("move_probas", ALL_MOVES)
+def test_vrp_delta_parity(move_probas):
+    # n=30, k=4 -> route_cap == n_stops, so the delta path is exact for
+    # every reachable assignment (no over-cap guard divergence)
+    req = _vrp_requester()
+    assert req.supports_delta
+    _check_parity(req, key=17, move_probas=move_probas)
+
+
+def test_vrp_delta_parity_no_time_windows():
+    req = _vrp_requester(time_windowed=False)
+    _check_parity(req, key=23, move_probas=None)
+
+
+def test_vrp_delta_parity_many_vehicles():
+    # k > DELTA_MOVE_SIZE and multi-depot: affected-vehicle dedupe + depot
+    # legs under heavy vehicle churn
+    req = _vrp_requester(n=60, k=20, seed=6)
+    _check_parity(req, key=29, move_probas=None,
+                  mutation_rate_multiplier=4.0)
 
 
 @pytest.mark.parametrize("move_probas", ALL_MOVES)
