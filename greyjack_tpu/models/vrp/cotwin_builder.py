@@ -161,7 +161,7 @@ def late_arrival_penalty(planning, facts, utils):
 # `examples/vrp/src/score/incremental_score_calculator.rs:21-26,55-139`). TPU
 # formulation: the ctx carries per-vehicle ROUTE BUFFERS [k, R] in stable
 # (vehicle, stop-index) order — the stop index as sort key plus the per-stop
-# facts (customer id, demand, service time, window floor/end) as PAYLOAD
+# facts (customer id, service time, window floor/end) as PAYLOAD
 # columns, so a neighbour re-walks only the <= 2*DELTA_MOVE_SIZE routes its
 # changed stops touch at static width R + DELTA_MOVE_SIZE with NO random
 # fact gathers: removals/patches are O(K) scatters at positions read from
@@ -171,25 +171,24 @@ def late_arrival_penalty(planning, facts, utils):
 # R (`route_cap`) is a static per-instance bound on route length. Any
 # neighbour that would grow a route beyond R scores as the stub (worst)
 # score and is therefore never accepted — a documented divergence from the
-# plain path, unreachable in practice (R >= 8x the mean route length, and
+# plain path, unreachable in practice (R >= 4x the mean route length, and
 # capacity hard penalties repel long routes; instances with <= 64 stops or
 # route_cap == n_stops are exact by construction).
 
-_PAYLOAD_KEYS = ("r_stop", "r_c", "r_dem", "r_ct", "r_floor", "r_ce")
+_PAYLOAD_KEYS = ("r_stop", "r_c", "r_ct", "r_floor", "r_ce")
 
 
 def _route_cap(n_stops, k):
-    return int(min(n_stops, max(64, -(-8 * n_stops // k))))
+    return int(min(n_stops, max(48, -(-4 * n_stops // k))))
 
 
 def _payload_from_customers(cids, utils):
-    """(c, demand, service, floor=tw_start+service, tw_end) for customer ids."""
+    """(c, service, floor=tw_start+service, tw_end) for customer ids."""
     crows = utils["cust_packed"][cids]
-    dem = crows[..., 0]
     cs = crows[..., 1]
     ce = crows[..., 2]
     ct = crows[..., 3]
-    return cids, dem, ct, cs + ct, ce
+    return cids, ct, cs + ct, ce
 
 
 def _buffer_metrics(bufs, veh_ids, utils):
@@ -209,8 +208,6 @@ def _buffer_metrics(bufs, veh_ids, utils):
     valid = key < n
     length = jnp.sum(valid, axis=1).astype(jnp.int32)
     has = length > 0
-    load = jnp.sum(jnp.where(valid, bufs["r_dem"], 0), axis=1).astype(
-        jnp.int32)
 
     legs = dmf[rc[:, :-1] * l + rc[:, 1:]]
     legs = jnp.where(valid[:, 1:], legs, 0)
@@ -223,7 +220,7 @@ def _buffer_metrics(bufs, veh_ids, utils):
     dist = jnp.where(has, ends + jnp.sum(legs.astype(jnp.int64), axis=1), 0)
 
     if not utils["time_windowed"]:
-        return dist, jnp.zeros((a,), jnp.int64), load, length
+        return dist, jnp.zeros((a,), jnp.int64), length
 
     big = jnp.asarray(1 << 30, jnp.int32)
     ct = bufs["r_ct"]
@@ -241,7 +238,7 @@ def _buffer_metrics(bufs, veh_ids, utils):
     overtime = jnp.where(has, jnp.maximum(post_last - w1, 0), 0)
     late_total = (jnp.sum(late.astype(jnp.int64), axis=1)
                   + overtime.astype(jnp.int64))
-    return dist, late_total, load, length
+    return dist, late_total, length
 
 
 def build_delta_ctx(planning, facts, utils):
@@ -269,15 +266,17 @@ def build_delta_ctx(planning, facts, utils):
         sorted_v, rank_c].set(perm, mode="drop")
     pos = jnp.zeros((n,), jnp.int32).at[perm].set(rank_c)
 
-    cid, dem, ct, floor, ce = _payload_from_customers(c[perm], utils)
+    cid, ct, floor, ce = _payload_from_customers(c[perm], utils)
     zero = jnp.zeros((k, r), jnp.int32)
     bufs = {"r_stop": r_stop}
-    for name, col in (("r_c", cid), ("r_dem", dem), ("r_ct", ct),
+    for name, col in (("r_c", cid), ("r_ct", ct),
                       ("r_floor", floor), ("r_ce", ce)):
         bufs[name] = zero.at[sorted_v, rank_c].set(col, mode="drop")
 
     veh_ids = jnp.arange(k, dtype=jnp.int32)
-    dist, late, load, length = _buffer_metrics(bufs, veh_ids, utils)
+    dist, late, length = _buffer_metrics(bufs, veh_ids, utils)
+    load = jnp.zeros((k,), jnp.int32).at[v].add(
+        utils["cust_packed"][c, 0], mode="drop")
     overflow = jnp.maximum(load - utils["capacities"], 0).astype(jnp.int64)
     return {"v": v, "c": c, "counts": counts, "dups": dups, "pos": pos,
             **bufs,
@@ -339,6 +338,8 @@ def _delta_parts(ctx, delta, utils):
     a2 = 2 * kd
     patch_a = jnp.where(rep, a_of_row, a2)
     clear_a = jnp.where(veh_changed, a_of_row, a2)
+    dem_old = utils["cust_packed"][old_c, 0]
+    dem_new = utils["cust_packed"][new_c, 0]
     npay = _payload_from_customers(new_c, utils)
     base = {name: ctx[name][av_safe] for name in _PAYLOAD_KEYS}
     base["r_stop"] = base["r_stop"].at[clear_a, slot_of_row].set(
@@ -358,7 +359,17 @@ def _delta_parts(ctx, delta, utils):
                               is_stable=False)
     bufs = dict(zip(_PAYLOAD_KEYS, sorted_ops))
 
-    dist, late, load, length = _buffer_metrics(bufs, av_safe, utils)
+    dist, late, length = _buffer_metrics(bufs, av_safe, utils)
+
+    # O(K) arithmetic load update — no demand payload in the sort
+    is_old = old_v[None, :] == av[:, None]          # [A, KD]
+    is_new = new_v[None, :] == av[:, None]
+    contrib = (
+        jnp.where(veh_changed[None, :] & is_old, -dem_old[None, :], 0)
+        + jnp.where(veh_changed[None, :] & is_new, dem_new[None, :], 0)
+        + jnp.where(rep[None, :] & ~veh_changed[None, :] & is_old,
+                    (dem_new - dem_old)[None, :], 0))
+    load = ctx["load"][av_safe] + jnp.sum(contrib, axis=1)
 
     cap_a = utils["capacities"][av_safe]
     m = arep
