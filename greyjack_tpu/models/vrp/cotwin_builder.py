@@ -278,7 +278,15 @@ def build_delta_ctx(planning, facts, utils):
     load = jnp.zeros((k,), jnp.int32).at[v].add(
         utils["cust_packed"][c, 0], mode="drop")
     overflow = jnp.maximum(load - utils["capacities"], 0).astype(jnp.int64)
+    # base-over-cap guard: a base whose route exceeds route_cap would have
+    # its overflow stops collapsed into slot r-1 (wrong metrics). Such a
+    # base can only come from initial sampling / an externally fed solution
+    # (accepted deltas are never over-cap); flag it so `score_delta` can
+    # poison every neighbour with the stub instead of mis-scoring silently.
+    true_counts = jnp.zeros((k,), jnp.int32).at[v].add(1, mode="drop")
+    base_over = jnp.any(true_counts > r)
     return {"v": v, "c": c, "counts": counts, "dups": dups, "pos": pos,
+            "base_over": base_over,
             **bufs,
             "dist": dist, "late": late, "load": load, "len": length,
             "sum_dist": jnp.sum(dist), "sum_late": jnp.sum(late),
@@ -369,7 +377,10 @@ def _delta_parts(ctx, delta, utils):
         + jnp.where(veh_changed[None, :] & is_new, dem_new[None, :], 0)
         + jnp.where(rep[None, :] & ~veh_changed[None, :] & is_old,
                     (dem_new - dem_old)[None, :], 0))
-    load = ctx["load"][av_safe] + jnp.sum(contrib, axis=1)
+    # cast the row sum back: under x64 the i32 sum promotes to i64 and the
+    # later scatter into the i32 ctx['load'] would be a hard error in
+    # future JAX releases
+    load = ctx["load"][av_safe] + jnp.sum(contrib, axis=1).astype(jnp.int32)
 
     cap_a = utils["capacities"][av_safe]
     m = arep
@@ -396,7 +407,8 @@ def score_delta(ctx, delta, utils):
     medium = (ctx["sum_late"] + p["d_late"]).astype(jnp.float64)
     soft = (ctx["sum_dist"] + p["d_dist"]).astype(jnp.float64) / 1000.0
     row = jnp.stack([hard, medium, soft])
-    return jnp.where(p["over_cap"], lexico.stub_score_row(3), row)
+    return jnp.where(p["over_cap"] | ctx["base_over"],
+                     lexico.stub_score_row(3), row)
 
 
 def update_ctx(ctx, delta, utils):

@@ -178,83 +178,6 @@ def iota_table_lookup(table, keys, with_dups=False):
     return out
 
 
-def _run_start_fill(values, run_start):
-    """Per element, the `values` entry at its run's start (runs delimited by
-    `run_start` flags; element 0 must be a run start). Log-depth."""
-    return _ffill_log(values, run_start, jnp.zeros((), values.dtype))
-
-
-def _run_end_fill_backward(values, run_start):
-    """Per element, the `values` entry at its run's END. Log-depth via the
-    flip trick: reversed runs start where the forward runs end."""
-    rev_vals = jnp.flip(values, axis=-1)
-    # forward run ends = positions whose successor starts a run (or last)
-    run_end = jnp.concatenate(
-        [run_start[..., 1:], jnp.ones_like(run_start[..., :1])], axis=-1)
-    rev_start = jnp.flip(run_end, axis=-1)
-    return jnp.flip(_ffill_log(rev_vals, rev_start,
-                               jnp.zeros((), values.dtype)), axis=-1)
-
-
-def edge_multiset_delta(new_keys, base_keys_sorted, base_vals_sorted,
-                        table_flat, novel_cap, sentinel_key):
-    """Exact Σ table[new multiset] − Σ base_vals over two edge multisets.
-
-    The delta-scoring distance kernel: a K-variable move changes at most
-    O(K) edges of the routing graph, so the new tour's total distance is
-    base_total + (Σ value of edges entering the multiset − Σ value of edges
-    leaving it). Matching is multiset-wise (the k-th occurrence of a key on
-    one side cancels the k-th on the other — any pairing is valid because
-    equal keys have equal table values).
-
-    new_keys: i32[M] (may contain `sentinel_key` padding; sentinels match
-    sentinels and are excluded from table lookups). base_keys_sorted /
-    base_vals_sorted: i32[B] pre-sorted with per-edge values. table_flat:
-    the value table for novel keys — gathered for at most `novel_cap`
-    unmatched new edges (the caller guarantees the true novel count is
-    bounded by construction). One (key, tag, val) sort + log-depth
-    segmented scans; no full-width gathers.
-    """
-    m = new_keys.shape[0]
-    b = base_keys_sorted.shape[0]
-    t = m + b
-    keys = jnp.concatenate([base_keys_sorted, new_keys])
-    tag = jnp.concatenate(
-        [jnp.zeros((b,), jnp.int32), jnp.ones((m,), jnp.int32)])
-    vals = jnp.concatenate([base_vals_sorted, jnp.zeros((m,), jnp.int32)])
-    keys, tag, vals = jax.lax.sort((keys, tag, vals), num_keys=2,
-                                   is_stable=False)
-
-    run_start = jnp.concatenate(
-        [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    cnew = jnp.cumsum(tag)
-    cbase = jnp.cumsum(1 - tag)
-    new_before_run = _run_start_fill(cnew - tag, run_start)
-    base_before_run = _run_start_fill(cbase - (1 - tag), run_start)
-    # base elements sort before new within a run (tag is the 2nd key), so at
-    # a new element every base of its run is already counted
-    new_rank = cnew - tag - new_before_run
-    base_total_here = cbase - base_before_run
-    novel = (tag == 1) & (new_rank >= base_total_here)
-
-    # removed base edges: base_rank >= total new in run (new are after, so
-    # the run-end prefix carries the run's full new count)
-    base_rank = cbase - (1 - tag) - base_before_run
-    new_total_run = _run_end_fill_backward(cnew, run_start) - new_before_run
-    removed = (tag == 0) & (base_rank >= new_total_run)
-    removed_sum = jnp.sum(jnp.where(removed, vals, 0).astype(jnp.int64))
-
-    # novel edges: compact into a bounded buffer, one [novel_cap] gather
-    novel_idx = jnp.cumsum(novel.astype(jnp.int32)) - 1
-    buf = jnp.full((novel_cap,), sentinel_key, jnp.int32).at[
-        jnp.where(novel, novel_idx, novel_cap)
-    ].set(keys, mode="drop")
-    lookup = table_flat[jnp.clip(buf, 0, table_flat.shape[0] - 1)]
-    novel_sum = jnp.sum(
-        jnp.where(buf != sentinel_key, lookup, 0).astype(jnp.int64))
-    return novel_sum - removed_sum
-
-
 def apply_permutation(x, p):
     """y[i] = x[p[i]] for a permutation p of [0, n), gather-free.
 
