@@ -8,12 +8,13 @@ scoring a full neighborhood batch per step — the BASELINE "scored moves per
 second" metric counts every candidate whose full score row is computed.
 
 vs_baseline: BASELINE.json targets >=100x a 64-thread CPU run of the
-reference Rust solver, which publishes no absolute numbers. The constant
-below estimates that baseline at 2.0e6 scored moves/s: the reference's fused
-incremental rescore walks ~n=1000 stops with hash-set uniqueness + route
-walks (~30us/move/thread measured for equivalent Rust-style workloads)
-times 64 threads with its claimed near-linear scaling. Revisit when a real
-measurement of the reference on matching hardware exists.
+reference Rust solver, which publishes no absolute numbers. The baseline is
+MEASURED on this machine by `scripts/measure_cpu_baseline.py` (a faithful
+C++ port of the reference's fused incremental VRP rescore driven
+TabuSearch-style, `incremental_score_calculator.rs:55-139`, per-thread
+throughput x 64 via the reference's near-linear-scaling claim) and persisted
+in BASELINE_CPU.json; the constant below is the fallback when that file is
+absent (last measured 2026-08-18: 13.0k moves/s/thread -> 832k at 64t).
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,7 +25,12 @@ import time
 
 import numpy as np
 
-REFERENCE_CPU_BASELINE = 2.0e6  # scored moves/s, 64-thread estimate (docstring)
+REFERENCE_CPU_BASELINE = 8.3e5  # scored moves/s, 64-thread (see docstring)
+_baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_CPU.json")
+if os.path.exists(_baseline_file):
+    with open(_baseline_file) as _f:
+        REFERENCE_CPU_BASELINE = json.load(_f)["moves_per_s_64t"]
 
 N_CUSTOMERS = int(os.environ.get("GJ_BENCH_CUSTOMERS", "1000"))
 N_DEPOTS = 8

@@ -123,6 +123,51 @@ def main():
         return _maxplus_scan(adds, adds)
     results["maxplus"] = (bench(maxplus, bufs), B * A * R * 4)
 
+    # lateness rewalk alternatives: post = P + max(w0, cummax(floor - P))
+    def prefix_cummax(x):
+        p = jnp.cumsum(x, axis=2)
+        return p + jax.lax.cummax(x - p, axis=2)
+    results["prefix_cummax"] = (bench(prefix_cummax, bufs), B * A * R * 4)
+
+    def prefix_doubling(x):
+        p = jnp.cumsum(x, axis=-1)
+        m = x - p
+        d = 1
+        neg = jnp.asarray(-(1 << 30), m.dtype)
+        while d < m.shape[-1]:
+            shifted = jnp.roll(m, d, axis=-1)
+            keep = jnp.arange(m.shape[-1]) >= d
+            m = jnp.maximum(m, jnp.where(keep, shifted, neg))
+            d *= 2
+        return p + m
+    results["prefix_doubling"] = (bench(prefix_doubling, bufs), B * A * R * 4)
+
+    # gather fixed-cost map: count x table size
+    small_tab = jax.random.randint(key, (1008,), 0, 1000, jnp.int32)
+    for cnt, tab in ((2, small_tab), (8, small_tab), (22, dmf), (64, dmf)):
+        idx = jax.random.randint(key, (B, cnt), 0, tab.shape[0], jnp.int32)
+        results[f"gather_{cnt}_{tab.shape[0]}"] = (
+            bench(lambda i, t=tab: t[i], idx), B * cnt * 4)
+
+    # batched per-neighbour slot read: take_along vs one-hot masked sum
+    slot_idx = jax.random.randint(key, (B, 6), 0, R, jnp.int32)
+    route_idx = jax.random.randint(key, (B, 6), 0, A, jnp.int32)
+
+    def take_along(bu, si, ri):
+        flat = bu.reshape(B, A * R)
+        return jnp.take_along_axis(flat, ri * R + si, axis=1)
+    results["take_along6"] = (bench(take_along, bufs, slot_idx, route_idx),
+                              B * 6 * 4)
+
+    def onehot_read(bu, si, ri):
+        jr = jnp.arange(R, dtype=jnp.int32)
+        ja = jnp.arange(A, dtype=jnp.int32)
+        m = ((si[:, :, None, None] == jr[None, None, None, :])
+             & (ri[:, :, None, None] == ja[None, None, :, None]))
+        return jnp.sum(jnp.where(m, bu[:, None, :, :], 0), axis=(2, 3))
+    results["onehot_read6"] = (bench(onehot_read, bufs, slot_idx, route_idx),
+                               B * 6 * 4)
+
     GL = 1000  # group size for selection benches
 
     def gumbel_topk(k):
