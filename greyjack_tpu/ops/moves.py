@@ -61,6 +61,13 @@ class MoverConfig:
     Mirrors the reference Mover construction (`mover.rs:26-73`) plus the
     per-group mutation rates each metaheuristic base computes
     (`genetic_algorithm_base.rs:59-64`).
+
+    Statically derives the delta-path geometry from the enabled move set:
+    `delta_width` (positions a delta may carry) and `k_sel` (positions the
+    selector must draw). A change+swap configuration with the default
+    mutation rate (the reference's fastest VRP config, `vrp/src/main.rs:51`)
+    needs only 2-wide deltas — 8x tighter shapes than the generic cap, which
+    the whole downstream delta-scoring pipeline inherits.
     """
 
     def __init__(self, variables_manager, tabu_entity_rate=0.0,
@@ -68,12 +75,16 @@ class MoverConfig:
         vm = variables_manager
         if move_probas is None:
             thr = default_move_thresholds()
+            increments = np.diff(np.concatenate([[0.0], thr]))
         else:
             thr = thresholds_from_probas(move_probas)
+            increments = np.asarray(move_probas, dtype=np.float64)
         self.thresholds = jnp.asarray(thr, dtype=jnp.float64)
         self.tabu_entity_rate = float(tabu_entity_rate)
+        self.enabled = tuple(i for i in range(6) if increments[i] > 0.0)
 
         mult = 0.0 if mutation_rate_multiplier is None else float(mutation_rate_multiplier)
+        self.rates_zero = mult == 0.0
         sizes = np.maximum(vm.group_sizes_np, 1)
         self.group_rates = jnp.asarray(mult / sizes, dtype=jnp.float64)
         # tabu size per group = max(ceil(rate * len), 1) (`tabu_search_base.rs:91`)
@@ -87,9 +98,38 @@ class MoverConfig:
         self.n_groups = vm.n_semantic_groups
         self.max_group_size = vm.max_group_size
 
+        # static per-move delta widths (positions a move may touch); with
+        # zero mutation rates the Binomial change-count floor applies
+        km = config.MAX_MOVE_SIZE
+        widths = {
+            0: 1 if self.rates_zero else km,        # change
+            1: 2 if self.rates_zero else km,        # swap
+            2: 4 if self.rates_zero else 2 * km,    # swap_edges (pairs)
+            3: config.SCRAMBLE_MAX,                 # scramble window
+            4: config.DELTA_MOVE_SIZE,              # insertion window cap
+            5: config.DELTA_MOVE_SIZE,              # inverse window cap
+        }
+        sel_needs = {
+            0: 1 if self.rates_zero else km,
+            1: 2 if self.rates_zero else km,
+            2: 2 if self.rates_zero else km,
+            3: 0,
+            4: 1,
+            5: 1,
+        }
+        self.delta_width = max(widths[i] for i in self.enabled)
+        self.k_sel = min(max(max(sel_needs[i] for i in self.enabled), 2), km)
+
     def init_tabu_state(self):
         cap = min(config.MAX_TABU_SIZE, max(2, self.max_group_size))
         return selection.make_tabu_state(max(1, self.n_groups), cap)
+
+    def tabu_masks(self, tabu_state):
+        """bool[G, lmax] masks, built once per step (see `tabu_masks_all`)."""
+        if not self.use_tabu:
+            return None
+        return selection.tabu_masks_all(tabu_state, self.tabu_sizes,
+                                        self.max_group_size)
 
 
 def _mswap(q, a, b, enable):
@@ -99,12 +139,13 @@ def _mswap(q, a, b, enable):
     return q.at[b].set(jnp.where(enable, va, vb))
 
 
-def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
+def do_move(key, candidate, vm, cfg: MoverConfig, tabu_masks):
     """Apply one randomly-drawn move to one candidate.
 
     candidate: f32/f64[V]. Returns (new_candidate, info) where info carries
     the touched group/positions for the per-step tabu update. Designed to
-    be vmapped over the population axis.
+    be vmapped over the population axis. `tabu_masks`: bool[G, lmax] from
+    `cfg.tabu_masks(tabu_state)` (shared by the whole batch) or None.
     """
     k_max = config.MAX_MOVE_SIZE
     lmax = cfg.max_group_size
@@ -136,9 +177,8 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     is_edges = move_type == 2
     sel_limit = jnp.where(is_edges, length - 1, length)
     tabu_mask = None
-    if cfg.use_tabu:
-        tabu_mask = selection.tabu_mask_for_group(tabu_state, g,
-                                                  cfg.tabu_sizes, lmax)
+    if cfg.use_tabu and tabu_masks is not None:
+        tabu_mask = selection.tabu_mask_row(tabu_masks, g)
     sel = selection.gumbel_topk_positions(k_sel, sel_limit, k_max, tabu_mask,
                                           lmax)
     # scramble window start: plain uniform draw (a full Gumbel top-k here
@@ -230,15 +270,18 @@ def do_move(key, candidate, vm, cfg: MoverConfig, tabu_state):
     return new_candidate, info
 
 
-def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_state):
+def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
     """One randomly-drawn move in DELTA form: no [V] vector is materialized.
 
     Returns (delta, info) with delta = {"positions": i32[KD],
     "values": float[KD], "valid": bool[KD]} — the changed variables and
-    their new values (KD = `config.DELTA_MOVE_SIZE`). This is the TPU
-    counterpart of the reference's incremental sampler, which returns
-    per-neighbour (var_id, new_value) lists
-    (`tabu_search_base.rs:107-137`, `mover.rs:145-421` incremental arms).
+    their new values (KD = `cfg.delta_width`, statically derived from the
+    enabled move set). This is the TPU counterpart of the reference's
+    incremental sampler, which returns per-neighbour (var_id, new_value)
+    lists (`tabu_search_base.rs:107-137`, `mover.rs:145-421` incremental
+    arms). Disabled move branches (probability 0) are pruned at trace time,
+    so e.g. a change+swap config emits 2-wide deltas with no Binomial
+    count draw and no scramble/window machinery at all.
 
     Move semantics match `do_move` with one documented divergence:
     insertion/inverse windows are capped at KD-1 (the second endpoint is
@@ -246,43 +289,50 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_state):
     uniform id), keeping every move's changed set statically bounded.
     Duplicate positions (swap_edges overlaps) always carry equal values, so
     scatter application is well-defined.
+
+    `tabu_masks`: bool[G, lmax] from `cfg.tabu_masks(tabu_state)` (shared
+    by the whole neighbourhood) or None.
     """
-    k_max = config.MAX_MOVE_SIZE
-    kd = config.DELTA_MOVE_SIZE
+    kd = cfg.delta_width
+    ks = cfg.k_sel
+    enabled = set(cfg.enabled)
     lmax = cfg.max_group_size
     n_vars = vm.variables_count
     (k_move, k_group, k_count, k_sel, k_len, k_start, k_perm, k_res) = \
         jax.random.split(key, 8)
 
-    u_move = jax.random.uniform(k_move, (), dtype=jnp.float64)
-    move_type = jnp.sum(cfg.thresholds < u_move).astype(jnp.int32)
+    if len(cfg.enabled) == 1:
+        move_type = jnp.asarray(cfg.enabled[0], jnp.int32)
+    else:
+        u_move = jax.random.uniform(k_move, (), dtype=jnp.float64)
+        move_type = jnp.sum(cfg.thresholds < u_move).astype(jnp.int32)
 
     g = jax.random.randint(k_group, (), 0, max(1, cfg.n_groups))
     length = vm.group_sizes[g].astype(jnp.int32)
     members_row = vm.group_members[g]
-    rate = cfg.group_rates[g]
 
-    c_raw = jnp.sum(
-        jax.random.uniform(k_count, (n_vars,), dtype=jnp.float32)
-        < rate.astype(jnp.float32)
-    ).astype(jnp.int32)
-    c_change = jnp.clip(jnp.maximum(c_raw, 1), 1, k_max)
-    c_swap = jnp.clip(jnp.maximum(c_raw, 2), 2, k_max)
+    if cfg.rates_zero:
+        c_raw = jnp.zeros((), jnp.int32)
+    else:
+        rate = cfg.group_rates[g]
+        c_raw = jnp.sum(
+            jax.random.uniform(k_count, (n_vars,), dtype=jnp.float32)
+            < rate.astype(jnp.float32)
+        ).astype(jnp.int32)
+    k_max = config.MAX_MOVE_SIZE
+    c_change = jnp.clip(jnp.maximum(c_raw, 1), 1, min(k_max, kd))
+    c_swap = jnp.clip(jnp.maximum(c_raw, 2), 2, min(k_max, kd))
     c_edges = jnp.clip(jnp.maximum(c_raw, 2), 2,
-                       jnp.maximum(jnp.minimum(length - 1, k_max), 2))
-    k_scr = jax.random.randint(k_len, (), config.SCRAMBLE_MIN,
-                               config.SCRAMBLE_MAX + 1)
+                       jnp.maximum(jnp.minimum(length - 1, ks), 2))
 
-    is_edges = move_type == 2
+    is_edges = (move_type == 2) if 2 in enabled else False
     sel_limit = jnp.where(is_edges, length - 1, length)
     tabu_mask = None
-    if cfg.use_tabu:
-        tabu_mask = selection.tabu_mask_for_group(tabu_state, g,
-                                                  cfg.tabu_sizes, lmax)
-    sel = selection.gumbel_topk_positions(k_sel, sel_limit, k_max, tabu_mask,
+    if cfg.use_tabu and tabu_masks is not None:
+        tabu_mask = selection.tabu_mask_row(tabu_masks, g)
+    sel = selection.gumbel_topk_positions(k_sel, sel_limit, ks, tabu_mask,
                                           lmax)
     sel_vars = members_row[sel]
-    sel_next_vars = members_row[jnp.minimum(sel + 1, lmax - 1)]
 
     # padded member row: dynamic slices near the group end stay aligned
     # (slice starts are never clamped) and rows shorter than the slice width
@@ -291,21 +341,53 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_state):
     mr_pad = jnp.concatenate(
         [members_row, jnp.broadcast_to(members_row[-1], (kd,))])
 
-    # scramble window start
-    start_limit = jnp.maximum(length - k_scr, 1)
-    u_start = jax.random.uniform(k_start, (), dtype=jnp.float32)
-    start = jnp.floor(u_start * start_limit).astype(jnp.int32)
-    w_vars = jax.lax.dynamic_slice(mr_pad, (start,), (config.SCRAMBLE_MAX,))
+    jj = jnp.arange(kd, dtype=jnp.int32)
 
-    # capped insertion/inverse window: a = sel[0]; b = a +- U{1..KD-1}
-    k_off, k_sign = jax.random.split(k_perm)
-    a = sel[0]
-    off = jax.random.randint(k_off, (), 1, kd)
-    sign = jax.random.bernoulli(k_sign, 0.5)
-    b = jnp.clip(jnp.where(sign, a + off, a - off), 0, length - 1)
-    lo = jnp.minimum(a, b)
-    r = jnp.abs(a - b)  # inclusive window is [lo, lo + r], r <= kd - 1
-    wm = jax.lax.dynamic_slice(mr_pad, (lo,), (kd,))
+    def pad_to_kd(x, fill=0):
+        if x.shape[0] >= kd:
+            return x[:kd]
+        return jnp.concatenate(
+            [x, jnp.full((kd - x.shape[0],), fill, x.dtype)])
+
+    # --- per-branch positions -------------------------------------------------
+    positions = jnp.zeros((kd,), jnp.int32)
+    if 0 in enabled or 1 in enabled:
+        pad_sel = pad_to_kd(sel_vars)
+        is01 = ((move_type == 0) | (move_type == 1)) \
+            if len(cfg.enabled) > 1 else True
+        positions = jnp.where(is01, pad_sel, positions)
+    if 2 in enabled:
+        sel_next_vars = members_row[jnp.minimum(sel + 1, lmax - 1)]
+        pos2 = pad_to_kd(jnp.concatenate([sel_vars, sel_next_vars]))
+        positions = jnp.where(move_type == 2, pos2, positions)
+    if 3 in enabled:
+        k_scr = jax.random.randint(k_len, (), config.SCRAMBLE_MIN,
+                                   config.SCRAMBLE_MAX + 1)
+        start_limit = jnp.maximum(length - k_scr, 1)
+        u_start = jax.random.uniform(k_start, (), dtype=jnp.float32)
+        start = jnp.floor(u_start * start_limit).astype(jnp.int32)
+        w_vars = jax.lax.dynamic_slice(mr_pad, (start,),
+                                       (config.SCRAMBLE_MAX,))
+        positions = jnp.where(move_type == 3, pad_to_kd(w_vars), positions)
+    else:
+        k_scr = jnp.zeros((), jnp.int32)
+        start = jnp.zeros((), jnp.int32)
+    if 4 in enabled or 5 in enabled:
+        # capped insertion/inverse window: a = sel[0]; b = a +- U{1..KD-1}
+        k_off, k_sign = jax.random.split(k_perm)
+        a = sel[0]
+        off = jax.random.randint(k_off, (), 1, kd)
+        sign = jax.random.bernoulli(k_sign, 0.5)
+        b = jnp.clip(jnp.where(sign, a + off, a - off), 0, length - 1)
+        lo = jnp.minimum(a, b)
+        r = jnp.abs(a - b)  # inclusive window [lo, lo + r], r <= kd - 1
+        wm = jax.lax.dynamic_slice(mr_pad, (lo,), (kd,))
+        is45 = (move_type == 4) | (move_type == 5)
+        positions = jnp.where(is45, wm, positions)
+    else:
+        a = b = r = jnp.zeros((), jnp.int32)
+
+    cand_at = candidate[positions]  # [KD] — the only O(KD) candidate gather
 
     noop0 = length < c_change
     noop1 = length < c_swap
@@ -313,81 +395,62 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_state):
     noop3 = length <= k_scr
     noop45 = (length <= 1) | (r == 0)
 
-    jj = jnp.arange(kd, dtype=jnp.int32)
-    v_oob = jnp.asarray(n_vars, jnp.int32)
-
-    is01 = (move_type == 0) | (move_type == 1)
-    pad_sel = jnp.concatenate([sel_vars, jnp.full((kd - k_max,), 0, jnp.int32)])
-    pad_w = jnp.concatenate(
-        [w_vars, jnp.zeros((kd - config.SCRAMBLE_MAX,), jnp.int32)])
-    pos2 = jnp.concatenate([sel_vars, sel_next_vars])
-    positions = jnp.where(
-        is01, pad_sel,
-        jnp.where(move_type == 2, pos2,
-                  jnp.where(move_type == 3, pad_w, wm)))
-
-    cand_at = candidate[positions]  # [KD] — the only O(KD) candidate gather
-
-    # --- per-type new values over cand_at ------------------------------------
-    # 0: resample U[lb, ub)
+    # --- per-branch new values over cand_at -----------------------------------
     lo_b = vm.lower_bounds[positions].astype(candidate.dtype)
     hi_b = vm.upper_bounds[positions].astype(candidate.dtype)
     disc = vm.discrete_mask[positions]
-    u = jax.random.uniform(k_res, (kd,), dtype=candidate.dtype)
-    vals0 = lo_b + u * (hi_b - lo_b)
-    # 1: left-rotate the first c_swap values
-    vals1 = cand_at[(jj + 1) % jnp.maximum(c_swap, 1)]
-    # 2: sequential swap-chain simulated on the local view (positions may
-    # alias; aliased slots hold equal values throughout)
-    vals2 = cand_at
-    for i in range(1, k_max):
-        en = i < c_edges
-        cm = jnp.maximum(c_edges, 1)
-        prev_i = jnp.asarray(i, jnp.int32) % cm
-        cur_i = jnp.asarray(i + 1, jnp.int32) % cm
-        for (xa, xb) in ((prev_i, cur_i), (prev_i + k_max, cur_i + k_max)):
-            x = positions[xa]
-            y = positions[xb]
-            vx = vals2[jnp.argmax(positions == x)]
-            vy = vals2[jnp.argmax(positions == y)]
-            swap_to = jnp.where(positions == x, vy,
-                                jnp.where(positions == y, vx, vals2))
-            vals2 = jnp.where(en, swap_to, vals2)
-    # 3: scramble — permute the first k_scr window values
-    perm = selection.random_permutation_positions(
-        jax.random.fold_in(k_perm, 1), config.SCRAMBLE_MAX, k_scr)
-    perm_kd = jnp.concatenate(
-        [perm, jnp.arange(config.SCRAMBLE_MAX, kd, dtype=jnp.int32)])
-    vals3 = cand_at[perm_kd]
-    # 4: rotation of [0, r]: left when a < b, right when a > b
-    src_left = jnp.where(jj == r, 0, jnp.minimum(jj + 1, kd - 1))
-    src_right = jnp.where(jj == 0, r, jnp.maximum(jj - 1, 0))
-    src4 = jnp.where(a < b, src_left, src_right)
-    vals4 = cand_at[src4]
-    # 5: reversal of [0, r]
-    vals5 = cand_at[jnp.clip(r - jj, 0, kd - 1)]
 
-    values = jnp.where(
-        move_type == 0, vals0,
-        jnp.where(move_type == 1, vals1,
-                  jnp.where(move_type == 2, vals2,
-                            jnp.where(move_type == 3, vals3,
-                                      jnp.where(move_type == 4, vals4,
-                                                vals5)))))
+    branch_vals = []  # (move_idx, values[kd], valid[kd])
+    if 0 in enabled:  # change: resample U[lb, ub)
+        u = jax.random.uniform(k_res, (kd,), dtype=candidate.dtype)
+        vals0 = lo_b + u * (hi_b - lo_b)
+        branch_vals.append((0, vals0, (jj < c_change) & ~noop0))
+    if 1 in enabled:  # swap: left-rotate the first c_swap values
+        vals1 = cand_at[(jj + 1) % jnp.maximum(c_swap, 1)]
+        branch_vals.append((1, vals1, (jj < c_swap) & ~noop1))
+    if 2 in enabled:  # swap_edges: sequential swap-chain on the local view
+        vals2 = cand_at
+        for i in range(1, ks):
+            en = i < c_edges
+            cm = jnp.maximum(c_edges, 1)
+            prev_i = jnp.asarray(i, jnp.int32) % cm
+            cur_i = jnp.asarray(i + 1, jnp.int32) % cm
+            for (xa, xb) in ((prev_i, cur_i), (prev_i + ks, cur_i + ks)):
+                x = positions[xa]
+                y = positions[xb]
+                vx = vals2[jnp.argmax(positions == x)]
+                vy = vals2[jnp.argmax(positions == y)]
+                swap_to = jnp.where(positions == x, vy,
+                                    jnp.where(positions == y, vx, vals2))
+                vals2 = jnp.where(en, swap_to, vals2)
+        valid2 = (jnp.where(jj < ks, jj, jj - ks) < c_edges) \
+            & (jj < 2 * ks) & ~noop2
+        branch_vals.append((2, vals2, valid2))
+    if 3 in enabled:  # scramble: permute the first k_scr window values
+        perm = selection.random_permutation_positions(
+            jax.random.fold_in(k_perm, 1), config.SCRAMBLE_MAX, k_scr)
+        perm_kd = jnp.concatenate(
+            [perm, jnp.arange(config.SCRAMBLE_MAX, kd, dtype=jnp.int32)])
+        vals3 = cand_at[perm_kd]
+        branch_vals.append((3, vals3, (jj < k_scr) & ~noop3))
+    if 4 in enabled:  # rotation of [0, r]: left when a < b, right when a > b
+        src_left = jnp.where(jj == r, 0, jnp.minimum(jj + 1, kd - 1))
+        src_right = jnp.where(jj == 0, r, jnp.maximum(jj - 1, 0))
+        src4 = jnp.where(a < b, src_left, src_right)
+        branch_vals.append((4, cand_at[src4], (jj <= r) & ~noop45))
+    if 5 in enabled:  # reversal of [0, r]
+        vals5 = cand_at[jnp.clip(r - jj, 0, kd - 1)]
+        branch_vals.append((5, vals5, (jj <= r) & ~noop45))
+
+    values, valid = branch_vals[-1][1], branch_vals[-1][2]
+    for idx, vals, vld in reversed(branch_vals[:-1]):
+        sel_this = move_type == idx
+        values = jnp.where(sel_this, vals, values)
+        valid = jnp.where(sel_this, vld, valid)
+
     # per-target fix: clamp + rint for discrete (`variables_manager.rs:187-201`)
     values = jnp.clip(values, lo_b, hi_b)
     values = jnp.where(disc, jnp.round(values), values)
-
-    valid0 = (jj < c_change) & ~noop0
-    valid1 = (jj < c_swap) & ~noop1
-    valid2 = (jnp.where(jj < k_max, jj, jj - k_max) < c_edges) & ~noop2
-    valid3 = (jj < k_scr) & ~noop3
-    valid45 = (jj <= r) & ~noop45
-    valid = jnp.where(
-        move_type == 0, valid0,
-        jnp.where(move_type == 1, valid1,
-                  jnp.where(move_type == 2, valid2,
-                            jnp.where(move_type == 3, valid3, valid45))))
 
     tabu_positions = jnp.where(move_type == 3, start * jnp.ones_like(sel), sel)
     tabu_count = jnp.where(
@@ -405,12 +468,14 @@ def move_population_delta(key, base, n_neighbours, vm, cfg: MoverConfig,
     """n_neighbours independent delta moves off one base candidate f[V].
 
     Returns (delta, info) with leading [n_neighbours] axes — no [n, V]
-    neighbour matrix is ever materialized.
+    neighbour matrix is ever materialized. The tabu masks are built once
+    and shared by the whole neighbourhood.
     """
     keys = jax.random.split(key, n_neighbours)
+    masks = cfg.tabu_masks(tabu_state)
 
     def one(k):
-        return do_move_delta(k, base, vm, cfg, tabu_state)
+        return do_move_delta(k, base, vm, cfg, masks)
 
     return jax.vmap(one)(keys)
 
@@ -440,15 +505,16 @@ def move_population(key, population, vm, cfg: MoverConfig, tabu_state):
     """Vmapped `do_move` over a population f32/f64[P, V].
 
     `vm`/`cfg` are static schema holders (closed over); `tabu_state` is a
-    shared (unbatched) pytree.
+    shared (unbatched) pytree whose masks are built once for the batch.
     """
     p = population.shape[0]
     keys = jax.random.split(key, p)
+    masks = cfg.tabu_masks(tabu_state)
 
-    def one(k, c, ts):
-        return do_move(k, c, vm, cfg, ts)
+    def one(k, c, m):
+        return do_move(k, c, vm, cfg, m)
 
-    return jax.vmap(one, in_axes=(0, 0, None))(keys, population, tabu_state)
+    return jax.vmap(one, in_axes=(0, 0, None))(keys, population, masks)
 
 
 def update_tabu_from_info(tabu_state, info, sample_idx):

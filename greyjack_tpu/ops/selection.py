@@ -70,6 +70,38 @@ def tabu_mask_for_group(tabu_state, group_idx, tabu_sizes, max_len):
     return mask[:max_len]
 
 
+def tabu_masks_all(tabu_state, tabu_sizes, max_len):
+    """bool[G, max_len]: tabu masks for EVERY group in one pass.
+
+    Hoisted out of the per-neighbour sampler: the tabu rings are shared by
+    the whole neighbourhood, so the masks are built once per step (one small
+    scatter) and each neighbour selects its group's row — the per-neighbour
+    [max_len] scatter this replaces was ~2/3 of round 1's move-sampling
+    time at population batch sizes.
+    """
+    ring = tabu_state["ring"]  # [G, cap]
+    cursor = tabu_state["cursor"]  # [G]
+    g, cap = ring.shape
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    age = (cursor[:, None] - 1 - slot) % cap
+    recent = age < tabu_sizes[:, None]
+    entries = jnp.where(recent & (ring >= 0), ring, max_len)
+    masks = jnp.zeros((g, max_len + 1), dtype=bool).at[
+        jnp.arange(g)[:, None], entries
+    ].set(True)
+    return masks[:, :max_len]
+
+
+def tabu_mask_row(tabu_masks, group_idx):
+    """Select one group's mask row without a dynamic gather: the group count
+    is tiny and static, so an unrolled where-chain fuses into the consumer."""
+    g = tabu_masks.shape[0]
+    row = jnp.zeros((tabu_masks.shape[1],), dtype=bool)
+    for gi in range(g):
+        row = jnp.where(group_idx == gi, tabu_masks[gi], row)
+    return row
+
+
 def tabu_push(tabu_state, group_idx, positions, count):
     """Push `positions[:count]` into the group's ring (oldest evicted)."""
     ring = tabu_state["ring"]
