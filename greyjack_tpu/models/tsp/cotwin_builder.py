@@ -37,20 +37,28 @@ class CotStop:
         ]
 
 
-@jax.jit
 def greedy_tour(dm):
-    """Nearest-neighbour tour from the depot (location 0), on device.
-    Returns int32[L-1] location ids."""
+    """Nearest-neighbour tour from the depot (location 0), HOST-side numpy.
+
+    Init runs once, off the hot path — exactly where the reference computes
+    it (`cotwin_builder.rs:139-168`). The round-1 `lax.scan` formulation is
+    gone: an O(L)-length scan never finishes compiling on TPU at L ~ 1000
+    (DESIGN.md §1), while the numpy loop takes milliseconds and keeps the
+    device free for solving. Returns int32[L-1] location ids.
+    """
+    dm = np.asarray(dm)
     l = dm.shape[0]
-
-    def body(carry, _):
-        visited, prev = carry
-        d = jnp.where(visited, jnp.inf, dm[prev])
-        nxt = jnp.argmin(d).astype(jnp.int32)
-        return (visited.at[nxt].set(True), nxt), nxt
-
-    visited0 = jnp.zeros((l,), bool).at[0].set(True)
-    _, tour = jax.lax.scan(body, (visited0, jnp.int32(0)), None, length=l - 1)
+    visited = np.zeros((l,), bool)
+    visited[0] = True
+    tour = np.empty((l - 1,), np.int32)
+    prev = 0
+    inf = np.inf
+    for i in range(l - 1):
+        d = np.where(visited, inf, dm[prev])
+        nxt = int(np.argmin(d))
+        visited[nxt] = True
+        tour[i] = nxt
+        prev = nxt
     return tour
 
 

@@ -161,12 +161,24 @@ def late_arrival_penalty(planning, facts, utils):
 # `examples/vrp/src/score/incremental_score_calculator.rs:21-26,55-139`). TPU
 # formulation: the ctx carries per-vehicle ROUTE BUFFERS [k, R] in stable
 # (vehicle, stop-index) order — the stop index as sort key plus the per-stop
-# facts (customer id, service time, window floor/end) as PAYLOAD
-# columns, so a neighbour re-walks only the <= 2*DELTA_MOVE_SIZE routes its
-# changed stops touch at static width R + DELTA_MOVE_SIZE with NO random
-# fact gathers: removals/patches are O(K) scatters at positions read from
-# `ctx["pos"]`, insertions ride a variadic `lax.sort`, and the only
-# full-width gather left is the chain-leg distance lookup.
+# facts (customer id, service time, window floor/end, outgoing chain leg) as
+# PAYLOAD columns, so a neighbour re-walks only the <= 2*KD routes its
+# changed stops touch (KD = the sampler's static delta width).
+#
+# Two merge paths produce identical buffers:
+#   * KD <= 4 (`_delta_parts_small`, the hot path for change/swap/edges
+#     configs): removals/insertions become per-slot SHIFTS; the new buffers
+#     are built from 2*KD+1 masked rolls — no sort, no scatter, no
+#     full-width gather. Distances use the CARRIED-LEG trick: each stop
+#     carries its outgoing leg value through the merge, only the O(KD)
+#     pairs adjacent to an edit are "dirty", and one consolidated gather of
+#     [3*KD + 2*A] distance-matrix entries per neighbour corrects them
+#     (over-flagging a clean pair is a no-op: its correction is zero).
+#     Lateness is the prefix form  post = P + max(w0, cummax(floor - P)),
+#     P = cumsum(service)  — one cumsum + one cummax per route row.
+#   * KD > 4 (`_delta_parts_sorted`, generic fallback for scramble /
+#     windowed moves): the round-1 variadic-sort merge with full-width leg
+#     gathers.
 #
 # R (`route_cap`) is a static per-instance bound on route length. Any
 # neighbour that would grow a route beyond R scores as the stub (worst)
@@ -176,6 +188,8 @@ def late_arrival_penalty(planning, facts, utils):
 # route_cap == n_stops are exact by construction).
 
 _PAYLOAD_KEYS = ("r_stop", "r_c", "r_ct", "r_floor", "r_ce")
+_ALL_BUF_KEYS = _PAYLOAD_KEYS + ("r_leg",)
+_SMALL_DELTA_MAX = 4
 
 
 def _route_cap(n_stops, k):
@@ -191,13 +205,41 @@ def _payload_from_customers(cids, utils):
     return cids, ct, cs + ct, ce
 
 
-def _buffer_metrics(bufs, veh_ids, utils):
-    """Per-route metrics straight off payload buffers.
+def _late_from_buffers(bufs, valid, length, veh_ids, utils):
+    """Time-window lateness per route row, prefix form.
+
+    The arrival recurrence post_j = max(post_{j-1}, cs_j) + ct_j unrolls to
+        post_j = P_j + max(w0, cummax_{i<=j}(floor_i - P_i)),
+    P = inclusive cumsum of service times, floor = cs + ct — one cumsum and
+    one cummax per row instead of the (add, floor)-pair doubling scan
+    (measured ~10x faster at neighbourhood batch shapes, scripts/bench_ops).
+    Integer math, bit-identical to the sequential walk. Beyond the valid
+    prefix ct is 0 and floor is -inf, so post[:, -1] IS the route's final
+    arrival — no indexed read needed.
+    """
+    a, wd = valid.shape
+    big = jnp.asarray(1 << 30, jnp.int32)
+    ct = jnp.where(valid, bufs["r_ct"], 0)
+    floor = jnp.where(valid, bufs["r_floor"], -big)
+    w0 = utils["work_day_start_k"][veh_ids].astype(jnp.int32)
+    w1 = utils["work_day_end_k"][veh_ids].astype(jnp.int32)
+    p = jnp.cumsum(ct, axis=1)
+    post = p + jnp.maximum(w0[:, None], jax.lax.cummax(floor - p, axis=1))
+    late = jnp.where(valid, jnp.maximum(post - bufs["r_ce"], 0), 0)
+    has = length > 0
+    overtime = jnp.where(has, jnp.maximum(post[:, -1] - w1, 0), 0)
+    return (jnp.sum(late.astype(jnp.int64), axis=1)
+            + overtime.astype(jnp.int64))
+
+
+def _buffer_metrics(bufs, veh_ids, utils, return_legs=False):
+    """Per-route metrics straight off payload buffers (sorted-merge path).
 
     bufs: dict of i32[A, W] arrays (`_PAYLOAD_KEYS`), rows sorted by r_stop
     with sentinel n_stops padding (valid entries form a prefix); veh_ids:
-    i32[A]. Returns (dist i64[A], late i64[A], load i32[A], length i32[A])
-    with per-vehicle semantics identical to `routes.vrp_routes_packed`.
+    i32[A]. Returns (dist i64[A], late i64[A], length i32[A]) — plus the
+    masked chain-leg matrix i32[A, W-1] when `return_legs` — with
+    per-vehicle semantics identical to `routes.vrp_routes_packed`.
     """
     l = utils["n_locations"]
     dmf = utils["dm_flat_milli"]
@@ -213,31 +255,18 @@ def _buffer_metrics(bufs, veh_ids, utils):
     legs = jnp.where(valid[:, 1:], legs, 0)
     depots = utils["vehicle_depot_ids"][veh_ids].astype(jnp.int32)
     first = rc[:, 0]
-    last_idx = jnp.maximum(length - 1, 0)
-    last = jnp.take_along_axis(rc, last_idx[:, None], axis=1)[:, 0]
+    last_onehot = jnp.arange(wd)[None, :] == (length[:, None] - 1)
+    last = jnp.sum(jnp.where(last_onehot, rc, 0), axis=1, dtype=jnp.int32)
     ends = (dmf[depots * l + first].astype(jnp.int64)
             + dmf[last * l + depots].astype(jnp.int64))
     dist = jnp.where(has, ends + jnp.sum(legs.astype(jnp.int64), axis=1), 0)
 
-    if not utils["time_windowed"]:
-        return dist, jnp.zeros((a,), jnp.int64), length
-
-    big = jnp.asarray(1 << 30, jnp.int32)
-    ct = bufs["r_ct"]
-    floor = bufs["r_floor"]
-    ce = bufs["r_ce"]
-    w0 = utils["work_day_start_k"][veh_ids].astype(jnp.int32)
-    w1 = utils["work_day_end_k"][veh_ids].astype(jnp.int32)
-    slot0 = jnp.arange(wd)[None, :] == 0
-    adds = jnp.where(slot0, -big, jnp.where(valid, ct, 0))
-    floors = jnp.where(slot0, jnp.maximum(w0[:, None] + ct, floor),
-                       jnp.where(valid, floor, -big))
-    post = routes._maxplus_scan(adds, floors)
-    late = jnp.where(valid, jnp.maximum(post - ce, 0), 0)
-    post_last = jnp.take_along_axis(post, last_idx[:, None], axis=1)[:, 0]
-    overtime = jnp.where(has, jnp.maximum(post_last - w1, 0), 0)
-    late_total = (jnp.sum(late.astype(jnp.int64), axis=1)
-                  + overtime.astype(jnp.int64))
+    if utils["time_windowed"]:
+        late_total = _late_from_buffers(bufs, valid, length, veh_ids, utils)
+    else:
+        late_total = jnp.zeros((a,), jnp.int64)
+    if return_legs:
+        return dist, late_total, length, legs
     return dist, late_total, length
 
 
@@ -274,7 +303,13 @@ def build_delta_ctx(planning, facts, utils):
         bufs[name] = zero.at[sorted_v, rank_c].set(col, mode="drop")
 
     veh_ids = jnp.arange(k, dtype=jnp.int32)
-    dist, late, length = _buffer_metrics(bufs, veh_ids, utils)
+    dist, late, length, legs = _buffer_metrics(bufs, veh_ids, utils,
+                                               return_legs=True)
+    # carried-leg payload: slot j's outgoing chain leg (0 at the route's
+    # last stop and at sentinels) — rides the small-delta merge so clean
+    # pairs never re-touch the distance matrix
+    bufs["r_leg"] = jnp.concatenate(
+        [legs, jnp.zeros((k, 1), legs.dtype)], axis=1)
     load = jnp.zeros((k,), jnp.int32).at[v].add(
         utils["cust_packed"][c, 0], mode="drop")
     overflow = jnp.maximum(load - utils["capacities"], 0).astype(jnp.int64)
@@ -293,9 +328,11 @@ def build_delta_ctx(planning, facts, utils):
             "sum_overflow": jnp.sum(overflow)}
 
 
-def _delta_parts(ctx, delta, utils):
-    """Shared O(K) analysis of one delta: per-row patched (vehicle, customer)
-    values, affected-route payload rebuild, exact metric deltas."""
+def _delta_parts_sorted(ctx, delta, utils):
+    """Generic-width delta analysis (variadic-sort merge): per-row patched
+    (vehicle, customer) values, affected-route payload rebuild, exact
+    metric deltas. Fallback for wide deltas (scramble / windowed moves);
+    `_delta_parts_small` covers the hot narrow-move configs."""
     delta = moves.dedupe_delta(delta)
     schema = utils["delta_schema"]
     k = utils["k_vehicles"]
@@ -367,7 +404,10 @@ def _delta_parts(ctx, delta, utils):
                               is_stable=False)
     bufs = dict(zip(_PAYLOAD_KEYS, sorted_ops))
 
-    dist, late, length = _buffer_metrics(bufs, av_safe, utils)
+    dist, late, length, legs = _buffer_metrics(bufs, av_safe, utils,
+                                               return_legs=True)
+    bufs["r_leg"] = jnp.concatenate(
+        [legs, jnp.zeros((legs.shape[0], 1), legs.dtype)], axis=1)
 
     # O(K) arithmetic load update — no demand payload in the sort
     is_old = old_v[None, :] == av[:, None]          # [A, KD]
@@ -397,6 +437,250 @@ def _delta_parts(ctx, delta, utils):
             "dist": dist, "late": late, "load": load, "len": length,
             "d_dist": d_dist, "d_late": d_late, "d_over": d_over,
             "new_dups": new_dups, "over_cap": over_cap}
+
+
+def _delta_parts_small(ctx, delta, utils):
+    """Narrow-delta analysis (KD <= 4): shift-merge + carried-leg accounting.
+
+    The whole per-neighbour pipeline is elementwise over [A, R] grids plus
+    ONE consolidated distance-matrix gather of [3*KD + 2*A] entries — no
+    sort, no scatter, no full-width gather (design rationale in the section
+    comment above; operator costs in scripts/bench_ops.py).
+    """
+    delta = moves.dedupe_delta(delta)
+    schema = utils["delta_schema"]
+    k = utils["k_vehicles"]
+    r = utils["route_cap"]
+    n = ctx["v"].shape[0]
+    l = utils["n_locations"]
+    dmf = utils["dm_flat_milli"]
+    kd = delta["positions"].shape[0]
+    a2 = 2 * kd
+
+    # --- per-row patched values (same contract as the sorted path) ----------
+    rows = schema["var_row"][delta["positions"]]
+    cols = schema["var_col"][delta["positions"]]
+    valid = delta["valid"]
+    nv = jnp.round(delta["values"]).astype(jnp.int32)
+    is_veh = cols == 0
+
+    rid = jnp.where(valid, rows, n)
+    idx = jnp.arange(kd)
+    eqr = rid[:, None] == rid[None, :]
+    rep = valid & ~jnp.any(eqr & (idx[None, :] < idx[:, None]), axis=1)
+    veh_match = eqr & is_veh[None, :] & valid[None, :]
+    cust_match = eqr & (~is_veh)[None, :] & valid[None, :]
+    old_v = ctx["v"][rows]
+    old_c = ctx["c"][rows]
+    new_v = jnp.where(jnp.any(veh_match, axis=1),
+                      nv[jnp.argmax(veh_match, axis=1)], old_v)
+    new_c = jnp.where(jnp.any(cust_match, axis=1),
+                      nv[jnp.argmax(cust_match, axis=1)], old_c)
+
+    d_unique = segments.nunique_delta(ctx["counts"], old_c, new_c, rep)
+    new_dups = ctx["dups"] - d_unique
+
+    veh_changed = rep & (new_v != old_v)
+    stay = rep & ~veh_changed
+
+    # --- affected routes ------------------------------------------------------
+    av = jnp.concatenate([jnp.where(rep, old_v, k),
+                          jnp.where(veh_changed, new_v, k)])
+    idxa = jnp.arange(a2)
+    eqa = av[:, None] == av[None, :]
+    arep = (av < k) & ~jnp.any(eqa & (idxa[None, :] < idxa[:, None]), axis=1)
+    av_safe = jnp.minimum(av, k - 1)
+    # affected-list slots of each rep row's OLD and NEW vehicles
+    a_of_row = jnp.argmax((av[None, :] == old_v[:, None]) & arep[None, :],
+                          axis=1).astype(jnp.int32)
+    a_of_new = jnp.argmax((av[None, :] == new_v[:, None]) & arep[None, :],
+                          axis=1).astype(jnp.int32)
+
+    base = {name: ctx[name][av_safe] for name in _ALL_BUF_KEYS}  # [A, R]
+    slot_of_row = ctx["pos"][rows]
+
+    jgrid = jnp.arange(r, dtype=jnp.int32)
+    # per-row one-hot grids [KD, A, R] (tiny: KD*A*R), scatter-free
+    row_at = ((idxa[None, :, None] == a_of_row[:, None, None])
+              & (jgrid[None, None, :] == slot_of_row[:, None, None]))
+
+    # patch stay rows' customer payloads in place
+    npay = _payload_from_customers(new_c, utils)
+    pm = row_at & stay[:, None, None]
+    pm_any = jnp.any(pm, axis=0)
+    for name, col in zip(_PAYLOAD_KEYS[1:], npay):
+        pval = jnp.sum(jnp.where(pm, col[:, None, None], 0), axis=0,
+                       dtype=jnp.int32)
+        base[name] = jnp.where(pm_any, pval, base[name])
+
+    # --- shifts: removals close gaps, insertions open them --------------------
+    cleared = jnp.any(row_at & veh_changed[:, None, None], axis=0)  # [A, R]
+    ins_into = (veh_changed[:, None]
+                & (idxa[None, :] == a_of_new[:, None]))             # [KD, A]
+    key_gt_row = rows[:, None, None] < base["r_stop"][None]         # [KD, A, R]
+    ins_before = jnp.sum(ins_into[:, :, None] & key_gt_row, axis=0,
+                         dtype=jnp.int32)
+    cum_clr = jnp.cumsum(cleared.astype(jnp.int32), axis=1)
+    rem_before = cum_clr - cleared
+    shift = ins_before - rem_before                                  # [A, R]
+    survives = ~cleared
+
+    # insert positions: survivors with smaller key + earlier same-route inserts
+    ins_key = jnp.where(veh_changed, rows, n)
+    same_new = (veh_changed[:, None] & veh_changed[None, :]
+                & (a_of_new[:, None] == a_of_new[None, :]))
+    ins_rank_ins = jnp.sum(same_new & (ins_key[None, :] < ins_key[:, None]),
+                           axis=1, dtype=jnp.int32)
+    ins_rank_base = jnp.sum(
+        ins_into[:, :, None] & survives[None] & ~key_gt_row, axis=(1, 2),
+        dtype=jnp.int32)
+    ins_pos = (ins_rank_base + ins_rank_ins).astype(jnp.int32)
+
+    # --- merge: 2*KD+1 masked rolls + one-hot insert + sentinel fill ----------
+    received = jnp.zeros((a2, r), jnp.int32)
+    merged = {name: jnp.zeros_like(base[name]) for name in _ALL_BUF_KEYS}
+    for s in range(-kd, kd + 1):
+        m = survives & (shift == s)
+        # forbid roll wrap-around: sources shifted past either end (tail
+        # sentinels pushed off by insertions, and over-cap growth) must be
+        # dropped, not wrapped onto the other side
+        keep = (jgrid >= s) if s >= 0 else (jgrid < r + s)
+        received = received + jnp.where(
+            keep, jnp.roll(m.astype(jnp.int32), s, axis=1), 0)
+        for name in _ALL_BUF_KEYS:
+            merged[name] = merged[name] + jnp.where(
+                keep, jnp.roll(jnp.where(m, base[name], 0), s, axis=1), 0)
+    im = (veh_changed[:, None, None]
+          & (idxa[None, :, None] == a_of_new[:, None, None])
+          & (jgrid[None, None, :] == ins_pos[:, None, None]))
+    im_any = jnp.any(im, axis=0)
+    ins_cols = dict(zip(_PAYLOAD_KEYS[1:], npay))
+    ins_cols["r_stop"] = rows
+    ins_cols["r_leg"] = jnp.zeros((kd,), jnp.int32)
+    bufs = {}
+    for name in _ALL_BUF_KEYS:
+        ival = jnp.sum(jnp.where(im, ins_cols[name][:, None, None], 0),
+                       axis=0, dtype=jnp.int32)
+        bufs[name] = jnp.where(im_any, ival, merged[name])
+    received = jnp.where(im_any, 1, received)
+    bufs["r_stop"] = jnp.where(received > 0, bufs["r_stop"], n)
+
+    # --- lengths / loads -------------------------------------------------------
+    n_clr = jnp.sum(cleared, axis=1).astype(jnp.int32)
+    n_ins = jnp.sum(ins_into, axis=0).astype(jnp.int32)
+    length = ctx["len"][av_safe] - n_clr + n_ins
+    over_cap = jnp.any(arep & (length > r))
+    valid_j = jgrid[None, :] < length[:, None]
+    has = length > 0
+
+    dem_old = utils["cust_packed"][old_c, 0]
+    dem_new = utils["cust_packed"][new_c, 0]
+    is_old = old_v[None, :] == av[:, None]
+    is_new = new_v[None, :] == av[:, None]
+    contrib = (
+        jnp.where(veh_changed[None, :] & is_old, -dem_old[None, :], 0)
+        + jnp.where(veh_changed[None, :] & is_new, dem_new[None, :], 0)
+        + jnp.where(rep[None, :] & ~veh_changed[None, :] & is_old,
+                    (dem_new - dem_old)[None, :], 0))
+    load = ctx["load"][av_safe] + jnp.sum(contrib, axis=1).astype(jnp.int32)
+
+    # --- distance: carried legs + dirty-pair corrections -----------------------
+    # every possibly-dirty pair is adjacent to an edit locus; over-flagging
+    # a clean pair is harmless (its correction is dm[u,v] - carried == 0),
+    # so flag generously: 3 candidates per rep row
+    shift_at_row = jnp.sum(jnp.where(row_at, shift[None], 0), axis=(1, 2),
+                           dtype=jnp.int32)
+    locus = slot_of_row + shift_at_row
+    er = jnp.concatenate([a_of_row,
+                          jnp.where(veh_changed, a_of_new, a_of_row),
+                          a_of_new])
+    el = jnp.concatenate([locus - 1,
+                          jnp.where(veh_changed, ins_pos - 1, locus),
+                          ins_pos])
+    ev = jnp.concatenate([rep, rep, veh_changed])
+    len_at = jnp.sum(jnp.where(idxa[None, :] == er[:, None],
+                               length[None, :], 0), axis=1, dtype=jnp.int32)
+    ev = ev & (el >= 0) & (el <= len_at - 2)
+    ekey = jnp.where(ev, er * (r + 1) + el, -1)
+    ii3 = jnp.arange(3 * kd)
+    edup = jnp.any((ekey[:, None] == ekey[None, :]) & ev[:, None]
+                   & ev[None, :] & (ii3[None, :] < ii3[:, None]), axis=1)
+    ev = ev & ~edup
+
+    pair_l = ((idxa[None, :, None] == er[:, None, None])
+              & (jgrid[None, None, :] == el[:, None, None]))   # [3KD, A, R]
+    pair_r = ((idxa[None, :, None] == er[:, None, None])
+              & (jgrid[None, None, :] == el[:, None, None] + 1))
+    u = jnp.sum(jnp.where(pair_l, bufs["r_c"][None], 0), axis=(1, 2),
+                dtype=jnp.int32)
+    v_right = jnp.sum(jnp.where(pair_r, bufs["r_c"][None], 0), axis=(1, 2),
+                      dtype=jnp.int32)
+    carried = jnp.sum(jnp.where(pair_l, bufs["r_leg"][None], 0),
+                      axis=(1, 2), dtype=jnp.int32)
+
+    depots = utils["vehicle_depot_ids"][av_safe].astype(jnp.int32)
+    first_c = bufs["r_c"][:, 0]
+    last_c = jnp.sum(
+        jnp.where(jgrid[None, :] == (length[:, None] - 1), bufs["r_c"], 0),
+        axis=1, dtype=jnp.int32)
+    gidx = jnp.concatenate([
+        jnp.where(ev, u * l + v_right, 0),
+        jnp.where(has, depots * l + first_c, 0),
+        jnp.where(has, last_c * l + depots, 0),
+    ])
+    gvals = dmf[gidx]  # the ONE consolidated per-neighbour dm gather
+    leg_new = gvals[:3 * kd]
+    start_leg = jnp.where(has, gvals[3 * kd:3 * kd + a2], 0)
+    end_leg = jnp.where(has, gvals[3 * kd + a2:], 0)
+
+    corr = jnp.where(ev, leg_new - carried, 0)
+    corr_by_route = jnp.sum(
+        jnp.where(idxa[None, :] == er[:, None],
+                  corr[:, None].astype(jnp.int64), 0), axis=0)
+    chain = (jnp.sum(jnp.where(valid_j[:, :-1] & valid_j[:, 1:],
+                               bufs["r_leg"][:, :-1], 0).astype(jnp.int64),
+                     axis=1)
+             + corr_by_route)
+    dist = jnp.where(has, start_leg.astype(jnp.int64)
+                     + end_leg.astype(jnp.int64) + chain, 0)
+
+    # exact r_leg for ctx updates: patch dirty pairs, zero out-of-pair slots
+    rl_patch = jnp.sum(jnp.where(pair_l & ev[:, None, None],
+                                 leg_new[:, None, None], 0), axis=0,
+                       dtype=jnp.int32)
+    rl_dirty = jnp.any(pair_l & ev[:, None, None], axis=0)
+    pairv = valid_j[:, :-1] & valid_j[:, 1:]
+    bufs["r_leg"] = jnp.where(
+        jnp.concatenate([pairv, jnp.zeros((a2, 1), bool)], axis=1),
+        jnp.where(rl_dirty, rl_patch, bufs["r_leg"]), 0)
+
+    if utils["time_windowed"]:
+        late = _late_from_buffers(bufs, valid_j, length, av_safe, utils)
+    else:
+        late = jnp.zeros((a2,), jnp.int64)
+
+    cap_a = utils["capacities"][av_safe]
+    m = arep
+    d_dist = jnp.sum(jnp.where(m, dist - ctx["dist"][av_safe], 0))
+    d_late = jnp.sum(jnp.where(m, late - ctx["late"][av_safe], 0))
+    d_over = jnp.sum(jnp.where(
+        m,
+        jnp.maximum(load - cap_a, 0).astype(jnp.int64)
+        - jnp.maximum(ctx["load"][av_safe] - cap_a, 0).astype(jnp.int64),
+        0))
+    return {"rows": rows, "rep": rep, "new_v": new_v, "new_c": new_c,
+            "old_c": old_c, "av": av, "arep": arep, "bufs": bufs,
+            "dist": dist, "late": late, "load": load, "len": length,
+            "d_dist": d_dist, "d_late": d_late, "d_over": d_over,
+            "new_dups": new_dups, "over_cap": over_cap}
+
+
+def _delta_parts(ctx, delta, utils):
+    """Width-dispatched delta analysis: shift-merge for narrow deltas,
+    variadic-sort merge for wide ones. Both produce identical buffers."""
+    if delta["positions"].shape[0] <= _SMALL_DELTA_MAX:
+        return _delta_parts_small(ctx, delta, utils)
+    return _delta_parts_sorted(ctx, delta, utils)
 
 
 def score_delta(ctx, delta, utils):
@@ -434,7 +718,7 @@ def update_ctx(ctx, delta, utils):
     new_stop_r = p["bufs"]["r_stop"][:, :r]
     valid_r = new_stop_r < n
     out["r_stop"] = ctx["r_stop"].at[vehsel].set(new_stop_r, mode="drop")
-    for name in _PAYLOAD_KEYS[1:]:
+    for name in _ALL_BUF_KEYS[1:]:
         out[name] = ctx[name].at[vehsel].set(
             jnp.where(valid_r, p["bufs"][name][:, :r], 0), mode="drop")
     # slots shifted inside every affected route: rewrite pos for their stops
@@ -453,41 +737,49 @@ def update_ctx(ctx, delta, utils):
     return out
 
 
-# --- greedy init (device) ---------------------------------------------------
+# --- greedy init (host) -------------------------------------------------------
 
 def greedy_init(dm, demands, capacities, depot_ids, n_depots):
     """Capacity-aware nearest-neighbour fill, vehicle by vehicle — the
-    reference's host loop (`cotwin_builder.rs:153-255`) as one `lax.scan`.
-    Returns (vehicle_ids, customer_ids, valid) of length n_stops + k; invalid
-    rows mean "no greedy slot" (left to uniform init, as the reference pads
-    with None)."""
+    reference's host loop (`cotwin_builder.rs:153-255`), kept HOST-side in
+    numpy: it runs once, off the hot path, and an O(n)-length `lax.scan`
+    never finishes compiling on TPU at n ~ 1000 (DESIGN.md §1). Returns
+    (vehicle_ids, customer_ids) int32 arrays of length n_stops + k; -1 rows
+    mean "no greedy slot" (left to uniform init, as the reference pads with
+    None)."""
+    dm = np.asarray(dm)
+    demands = np.asarray(demands)
+    capacities = np.asarray(capacities)
+    depot_ids = np.asarray(depot_ids)
     l = dm.shape[0]
     k = capacities.shape[0]
     n_stops = l - n_depots
     steps = n_stops + k
 
-    def body(carry, _):
-        remaining, veh, prev, load = carry
-        d = jnp.where(remaining, dm[prev], jnp.inf)
-        cand = jnp.argmin(d).astype(jnp.int32)
-        cand_demand = demands[cand]
-        veh_ok = veh < k
-        any_left = jnp.any(remaining)
-        fits = veh_ok & any_left & (load + cand_demand <= capacities[jnp.minimum(veh, k - 1)])
-        # assign or advance to the next vehicle (reference `break`)
-        new_remaining = jnp.where(fits, remaining.at[cand].set(False), remaining)
-        new_veh = jnp.where(fits, veh, veh + 1)
-        new_prev = jnp.where(
-            fits, cand, depot_ids[jnp.minimum(new_veh, k - 1)].astype(jnp.int32)
-        )
-        new_load = jnp.where(fits, load + cand_demand, 0)
-        out = (jnp.where(fits, veh, -1), jnp.where(fits, cand, -1))
-        return (new_remaining, new_veh, new_prev, new_load), out
-
-    remaining0 = jnp.zeros((l,), bool).at[n_depots:].set(True)
-    init = (remaining0, jnp.int32(0),
-            depot_ids[0].astype(jnp.int32), jnp.int64(0))
-    _, (veh_out, cust_out) = jax.lax.scan(body, init, None, length=steps)
+    remaining = np.zeros((l,), bool)
+    remaining[n_depots:] = True
+    veh = 0
+    prev = int(depot_ids[0])
+    load = 0
+    veh_out = np.full((steps,), -1, np.int32)
+    cust_out = np.full((steps,), -1, np.int32)
+    for i in range(steps):
+        if veh >= k or not remaining.any():
+            break
+        d = np.where(remaining, dm[prev], np.inf)
+        cand = int(np.argmin(d))
+        cand_demand = int(demands[cand])
+        if load + cand_demand <= capacities[veh]:
+            remaining[cand] = False
+            veh_out[i] = veh
+            cust_out[i] = cand
+            prev = cand
+            load += cand_demand
+        else:
+            # advance to the next vehicle (reference `break`)
+            veh += 1
+            prev = int(depot_ids[min(veh, k - 1)])
+            load = 0
     return veh_out, cust_out
 
 
@@ -516,18 +808,14 @@ class CotwinBuilder(CotwinBuilderBase):
                     frozen[i] = customer.frozen
                     i += 1
         elif self.use_greed_init:
-            demands = jnp.asarray(
-                np.array([c.demand for c in domain.customers_vec], np.int64)
-            )
-            capacities = jnp.asarray(
-                np.array([v.capacity for v in domain.vehicles], np.int64)
-            )
-            depot_ids = jnp.asarray(
-                np.array([v.depot_vec_id for v in domain.vehicles], np.int32)
-            )
+            demands = np.array([c.demand for c in domain.customers_vec],
+                               np.int64)
+            capacities = np.array([v.capacity for v in domain.vehicles],
+                                  np.int64)
+            depot_ids = np.array([v.depot_vec_id for v in domain.vehicles],
+                                 np.int32)
             veh, cust = greedy_init(domain.distance_matrix, demands,
                                     capacities, depot_ids, n_depots)
-            veh, cust = np.asarray(veh), np.asarray(cust)
             valid = veh >= 0
             veh, cust = veh[valid].tolist(), cust[valid].tolist()
             for i in range(min(len(veh), n_stops)):

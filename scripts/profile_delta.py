@@ -3,14 +3,14 @@
 Times each stage of the delta pipeline (jitted, warmed, block_until_ready):
   move_d    — move_population_delta (bounded-delta sampler)
   ctx       — build_base_ctx (O(N) base pass; once per chunk)
-  parts     — _delta_parts minus route metrics (patch analysis + rebuild)
-  sortbuf   — the jnp.sort of the rebuilt [A, R+K] route buffers alone
-  metrics   — _route_metrics on rebuilt buffers (gathers + max-plus scan)
-  score_d   — request_score_delta (full neighbourhood)
+  score_d   — request_score_delta (full neighbourhood, v2 shift-merge path
+              for narrow move sets, variadic-sort path otherwise)
+  argmin    — lexicographic argmin over the neighbourhood scores
   update    — update_ctx for one winner
-  step      — full TS delta step
+  step      — full TS delta step (everything fused in one program)
 
-Run: python scripts/profile_delta.py [n_customers] [neighbours]
+Run: python scripts/profile_delta.py [n_customers] [neighbours] [islands]
+Env: GJ_PROF_MOVES="0.5,0.5,0,0,0,0" to change the move mix.
 """
 
 import os
@@ -45,29 +45,31 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from greyjack_tpu.models.vrp import CotwinBuilder, generate_instance
-    from greyjack_tpu.models.vrp import cotwin_builder as vrp_cb
     from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
-    from greyjack_tpu.ops import moves
+    from greyjack_tpu.ops import moves, lexico
     from greyjack_tpu.agents.tabu_search import TabuSearch
     from greyjack_tpu.agents.termination_strategies import StepsLimit
 
     n_customers = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    neigh = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    n_islands = 8
+    neigh = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    n_islands = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    probas = [float(x) for x in os.environ.get(
+        "GJ_PROF_MOVES", "0.5,0.5,0,0,0,0").split(",")]
     P = n_islands * neigh
 
-    print(f"backend={jax.default_backend()} n={n_customers} P={P}", flush=True)
+    print(f"backend={jax.default_backend()} n={n_customers} P={P} "
+          f"probas={probas}", flush=True)
 
     domain = generate_instance(n_customers, 8, 40, seed=0, time_windowed=True)
     cotwin = CotwinBuilder(True, False).build_cotwin(domain, False)
     req = ScoreRequester(cotwin)
     vm = req.variables_manager
-    utils = req._delta_utils()
+    cfg = moves.MoverConfig(vm, 0.2, None, probas)
+    print(f"delta_width={cfg.delta_width} k_sel={cfg.k_sel}", flush=True)
+    tabu = cfg.init_tabu_state()
 
     key = jax.random.key(0)
     base = jax.block_until_ready(vm.sample_variables(key, 1)[0])
-    cfg = moves.MoverConfig(vm, 0.2, None, [0.5, 0.5, 0.0, 0.0, 0.0, 0.0])
-    tabu = cfg.init_tabu_state()
 
     results = {}
 
@@ -80,74 +82,16 @@ def main():
     results["ctx"] = bench(req.build_base_ctx, base)
     ctx = jax.block_until_ready(jax.jit(req.build_base_ctx)(base))
 
-    # parts without metrics: monkey-profile by timing pieces inline
-    def rebuild_only(ctx, delta):
-        d = moves.dedupe_delta(delta)
-        schema = utils["delta_schema"]
-        k = utils["k_vehicles"]
-        n = ctx["v"].shape[0]
-        kd = d["positions"].shape[0]
-        rows = schema["var_row"][d["positions"]]
-        cols = schema["var_col"][d["positions"]]
-        valid = d["valid"]
-        nv = jnp.round(d["values"]).astype(jnp.int32)
-        is_veh = cols == 0
-        rid = jnp.where(valid, rows, n)
-        idx = jnp.arange(kd)
-        eqr = rid[:, None] == rid[None, :]
-        rep = valid & ~jnp.any(eqr & (idx[None, :] < idx[:, None]), axis=1)
-        veh_match = eqr & is_veh[None, :] & valid[None, :]
-        old_v = ctx["v"][rows]
-        new_v = jnp.where(jnp.any(veh_match, axis=1),
-                          nv[jnp.argmax(veh_match, axis=1)], old_v)
-        veh_changed = rep & (new_v != old_v)
-        av = jnp.concatenate([jnp.where(rep, old_v, k),
-                              jnp.where(veh_changed, new_v, k)])
-        av_safe = jnp.minimum(av, k - 1)
-        base_buf = ctx["r_stop"][av_safe]
-        rm_rows = jnp.where(veh_changed, rows, n)
-        cleared = jnp.where(
-            jnp.any(base_buf[:, :, None] == rm_rows[None, None, :], axis=2),
-            n, base_buf)
-        ins = jnp.where(
-            veh_changed[None, :] & (new_v[None, :] == av[:, None]),
-            rows[None, :], n)
-        return jnp.concatenate([cleared, ins], axis=1)
-
-    def parts_phase(ctx, deltas):
-        return jax.vmap(lambda d: rebuild_only(ctx, d))(deltas)
-
-    results["parts"] = bench(parts_phase, ctx, deltas)
-    unsorted = jax.block_until_ready(jax.jit(parts_phase)(ctx, deltas))
-
-    def sort_phase(u):
-        return jnp.sort(u, axis=-1)
-
-    results["sortbuf"] = bench(sort_phase, unsorted)
-    bufs1 = jax.block_until_ready(jax.jit(sort_phase)(unsorted))
-
-    a = bufs1.shape[1]
-
-    def metrics_phase(ctx, key_bufs):
-        veh = jnp.zeros((a,), jnp.int32)
-
-        def one(kb):
-            bufs = {"r_stop": kb}
-            for name in vrp_cb._PAYLOAD_KEYS[1:]:
-                bufs[name] = jnp.zeros_like(kb)
-            return vrp_cb._buffer_metrics(bufs, veh, utils)
-
-        return jax.vmap(one)(key_bufs)
-
-    results["metrics"] = bench(metrics_phase, ctx, bufs1)
-
     results["score_d"] = bench(req.request_score_delta, ctx, deltas)
+    scores = jax.block_until_ready(
+        jax.jit(req.request_score_delta)(ctx, deltas))
+
+    results["argmin"] = bench(lexico.lex_argmin, scores)
 
     one = jax.tree.map(lambda x: x[0], deltas)
     results["update"] = bench(req.update_ctx, ctx, one)
 
-    agent = TabuSearch(neigh, 0.2, True, None, [0.5, 0.5, 0.0, 0.0, 0.0, 0.0],
-                       10, StepsLimit(10))
+    agent = TabuSearch(neigh, 0.2, True, None, probas, 10, StepsLimit(10))
     kernel = agent.build_kernel(req, None)
 
     def full_step(k, state):
@@ -160,7 +104,7 @@ def main():
 
     print(f"\n{'phase':<10} {'ms':>10} {'moves/s':>12}")
     for k, t in results.items():
-        print(f"{k:<10} {t * 1e3:>10.2f} {P / t:>12.0f}")
+        print(f"{k:<10} {t * 1e3:>10.2f} {P / t:>12.0f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -121,6 +121,49 @@ def test_vrp_delta_parity_no_time_windows():
     _check_parity(req, key=23, move_probas=None)
 
 
+# narrow move sets with zero mutation rates produce KD <= 4 deltas, which
+# take the shift-merge/carried-leg path (`_delta_parts_small`) instead of
+# the variadic-sort path — cover both the TS flagship config and each
+# narrow move alone, time-windowed and not
+NARROW_MOVES = [
+    [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],   # change (KD=1)
+    [0.0, 1.0, 0.0, 0.0, 0.0, 0.0],   # swap (KD=2)
+    [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],   # swap_edges (KD=4)
+    [0.5, 0.5, 0.0, 0.0, 0.0, 0.0],   # the reference's fastest VRP config
+    [0.3, 0.3, 0.4, 0.0, 0.0, 0.0],
+]
+
+
+@pytest.mark.parametrize("move_probas", NARROW_MOVES)
+def test_vrp_delta_parity_small_path(move_probas):
+    from greyjack_tpu.ops import moves as moves_mod
+    req = _vrp_requester()
+    cfg = moves_mod.MoverConfig(req.variables_manager, 0.0, None, move_probas)
+    assert cfg.delta_width <= 4, "expected the shift-merge path"
+    _check_parity(req, key=31, move_probas=move_probas,
+                  mutation_rate_multiplier=None, n_neighbours=96)
+
+
+@pytest.mark.parametrize("move_probas", NARROW_MOVES)
+def test_vrp_delta_parity_small_path_no_tw(move_probas):
+    req = _vrp_requester(time_windowed=False, seed=8)
+    _check_parity(req, key=37, move_probas=move_probas,
+                  mutation_rate_multiplier=None, n_neighbours=96)
+
+
+@pytest.mark.parametrize("move_probas", NARROW_MOVES[1:4])
+def test_tsp_delta_parity_small_path(move_probas):
+    req = _tsp_requester(seed=12)
+    _check_parity(req, key=41, move_probas=move_probas,
+                  mutation_rate_multiplier=None, n_neighbours=96)
+
+
+def test_vrp_delta_parity_small_path_many_vehicles():
+    req = _vrp_requester(n=60, k=20, seed=6)
+    _check_parity(req, key=43, move_probas=[0.4, 0.3, 0.3, 0.0, 0.0, 0.0],
+                  mutation_rate_multiplier=None, n_neighbours=128)
+
+
 def test_vrp_delta_parity_many_vehicles():
     # k > DELTA_MOVE_SIZE and multi-depot: affected-vehicle dedupe + depot
     # legs under heavy vehicle churn
