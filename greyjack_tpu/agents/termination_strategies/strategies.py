@@ -21,6 +21,14 @@ class TerminationStrategy:
     def get_accomplish_rate(self) -> float:
         raise NotImplementedError
 
+    def predict_accomplish_rate(self, steps: int) -> float:
+        """Accomplish rate expected `steps` device steps from now — the end
+        point of the per-step lerp the island runner applies inside a chunk
+        (SA auto-temperature, `agent_base.rs:537-552`). Default: constant
+        (time-based strategies stay chunk-granular — wall time per device
+        step is unknown to the host; documented divergence)."""
+        return self.get_accomplish_rate()
+
     def clone(self):
         return copy.deepcopy(self)
 
@@ -40,6 +48,10 @@ class StepsLimit(TerminationStrategy):
 
     def get_accomplish_rate(self) -> float:
         return self.steps_made / self.steps_limit
+
+    def predict_accomplish_rate(self, steps: int) -> float:
+        # linear in steps -> the in-chunk per-step lerp is exact
+        return (self.steps_made + steps) / self.steps_limit
 
 
 class TimeSpentLimit(TerminationStrategy):

@@ -40,13 +40,17 @@ def lex_argmin(scores):
     """Index of the lexicographically smallest row. scores: f64[N, S] -> i32.
 
     Ties resolve to the lowest index (matches `Iterator::min_by` in the
-    reference, `tabu_search_base.rs:166-171`).
+    reference, `tabu_search_base.rs:166-171`). S masked min-reductions plus
+    one argmax — this runs on the hot path every step, where a full stable
+    sort (the previous formulation) is ~10x the work for one index.
     """
     n, s = scores.shape
-    idx = jnp.arange(n)
-    # iterative tournament via sort keys: sort lexicographically, stable
-    order = lex_sort_order(scores)
-    return order[0]
+    eligible = jnp.ones((n,), bool)
+    for i in range(s):
+        col = scores[:, i]
+        m = jnp.min(jnp.where(eligible, col, jnp.inf))
+        eligible = eligible & (col == m)
+    return jnp.argmax(eligible).astype(jnp.int32)
 
 
 def lex_sort_order(scores):

@@ -87,13 +87,22 @@ class IslandRunner:
         return {"islands": island_shard, **rep}
 
     # --- chunk --------------------------------------------------------------
-    def run_chunk(self, state, key, alive, extras, n_steps):
+    def run_chunk(self, state, key, alive, extras, n_steps, steps_left=None):
         """Advance all islands `n_steps` steps, then migrate + reduce best.
 
-        alive: bool[I]; extras: dict of f64[I] per-island scalars.
+        alive: bool[I]; extras: dict of f64[I] per-island scalars. Entries
+        named `<k>_end` pair with `<k>` to linearly interpolate the value
+        across the chunk's steps (per-step SA auto-temperature,
+        `agent_base.rs:537-552`). `steps_left`: i32[I] per-island step
+        budget — islands freeze after their budget inside a full-size chunk,
+        so StepsLimit stays exact WITHOUT compiling a trimmed chunk program
+        per distinct remainder (every compile is minutes on the tunneled
+        backend).
         """
+        if steps_left is None:
+            steps_left = jnp.full(alive.shape, n_steps, jnp.int32)
         fn = self._get_chunk_fn(int(n_steps))
-        return fn(state, key, alive, extras)
+        return fn(state, key, alive, steps_left, extras)
 
     def _get_chunk_fn(self, n_steps):
         if n_steps not in self._chunk_cache:
@@ -104,7 +113,7 @@ class IslandRunner:
 
                 islands_spec = P("islands")
 
-                def sharded(state, key, alive, extras):
+                def sharded(state, key, alive, steps_left, extras):
                     in_specs = (
                         {
                             "islands": jax.tree.map(
@@ -115,6 +124,7 @@ class IslandRunner:
                         },
                         P(),
                         islands_spec,
+                        islands_spec,
                         jax.tree.map(lambda _: islands_spec, extras),
                     )
                     out_specs = in_specs[0]
@@ -124,43 +134,57 @@ class IslandRunner:
                         in_specs=in_specs,
                         out_specs=out_specs,
                         check_vma=False,
-                    )(state, key, alive, extras)
+                    )(state, key, alive, steps_left, extras)
 
                 fn = jax.jit(sharded)
             self._chunk_cache[n_steps] = fn
         return self._chunk_cache[n_steps]
 
     # --- inner bodies -------------------------------------------------------
-    def _steps(self, islands, key, alive, extras, n_steps, n_local):
+    def _steps(self, islands, key, alive, steps_left, extras, n_steps,
+               n_local):
         step = self.kernel.step
+        ends = {k for k in extras if k.endswith("_end")}
+        lerped = {k for k in extras if k + "_end" in ends}
 
-        def body(carry, _):
+        def body(carry, i):
             st, k = carry
             k, sub = jax.random.split(k)
             keys = jax.random.split(sub, n_local)
-            new = jax.vmap(step)(keys, st, extras)
-            new = agent_base.mask_state(new, st, alive)
+            # per-step extras: lerp `<k>`..`<k>_end` by step index — the SA
+            # auto-temperature is re-derived before EVERY step in the
+            # reference (`agent_base.rs:537-552`); for StepsLimit the
+            # accomplish rate is linear in steps, so the lerp is exact
+            frac = i.astype(jnp.float64) / n_steps
+            ex = {
+                k2: (v + (extras[k2 + "_end"] - v) * frac)
+                if k2 in lerped else v
+                for k2, v in extras.items() if k2 not in ends
+            }
+            new = jax.vmap(step)(keys, st, ex)
+            new = agent_base.mask_state(new, st, alive & (i < steps_left))
             return (new, k), None
 
         (islands, _), _ = jax.lax.scan(
-            body, (islands, key), None, length=n_steps
+            body, (islands, key), jnp.arange(n_steps, dtype=jnp.int32)
         )
         return islands
 
-    def _chunk_local(self, state, key, alive, extras, n_steps):
+    def _chunk_local(self, state, key, alive, steps_left, extras, n_steps):
         islands = self._steps(
-            state["islands"], key, alive, extras, n_steps, self.n_islands
+            state["islands"], key, alive, steps_left, extras, n_steps,
+            self.n_islands
         )
         islands = self._migrate(islands, roll_fn=lambda x: jnp.roll(x, 1, axis=0))
         state = self._update_global(state, islands, gather_fn=None)
         return self._refresh(state)
 
-    def _chunk_sharded(self, state, key, alive, extras, n_steps):
+    def _chunk_sharded(self, state, key, alive, steps_left, extras, n_steps):
         axis = "islands"
         n_local = self.n_islands // self.mesh.shape[axis]
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         islands = self._steps(
-            state["islands"], key, alive, extras, n_steps, n_local
+            state["islands"], key, alive, steps_left, extras, n_steps, n_local
         )
 
         def ring_roll(x):

@@ -111,23 +111,34 @@ class Solver:
         solution_json = None
         chunk_id = 0
         while True:
-            # chunk size: migration cadence, trimmed so StepsLimit stays exact
+            # fixed chunk size (ONE compiled program); per-island step
+            # budgets keep StepsLimit exact by freezing islands mid-chunk
             steps = runner.migration_frequency
-            for strat, a in zip(strategies, alive):
+            budgets = np.full(n_jobs, steps, dtype=np.int32)
+            for i, (strat, a) in enumerate(zip(strategies, alive)):
                 if a and isinstance(strat, StepsLimit):
                     remaining = strat.steps_limit + 1 - strat.steps_made
-                    steps = max(1, min(steps, remaining))
+                    budgets[i] = max(1, min(steps, remaining))
 
             extras = {}
             if is_sa_auto:
+                # per-step auto-temperature: the runner lerps start..end
+                # across the chunk (`agent_base.rs:537-552`; exact for
+                # StepsLimit, chunk-granular for time-based strategies)
                 extras["inverted_accomplish_rate"] = jnp.asarray(
                     [1.0 - s.get_accomplish_rate() for s in strategies],
+                    dtype=jnp.float64,
+                )
+                extras["inverted_accomplish_rate_end"] = jnp.asarray(
+                    [1.0 - s.predict_accomplish_rate(int(b))
+                     for s, b in zip(strategies, budgets)],
                     dtype=jnp.float64,
                 )
 
             key, chunk_key = jax.random.split(key)
             state = runner.run_chunk(
-                state, chunk_key, jnp.asarray(alive), extras, steps
+                state, chunk_key, jnp.asarray(alive), extras, steps,
+                steps_left=jnp.asarray(budgets),
             )
 
             # --- host sync: termination, logging, observers ----------------
@@ -136,7 +147,7 @@ class Solver:
             top_objs = [score_class.from_row(row) for row in top_scores]
             for i, strat in enumerate(strategies):
                 if alive[i]:
-                    strat.update(top_objs[i], steps=steps)
+                    strat.update(top_objs[i], steps=int(budgets[i]))
                     if strat.is_accomplish():
                         alive[i] = False
                         if logging_level not in (SolverLoggingLevels.Silent,):

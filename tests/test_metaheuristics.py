@@ -82,3 +82,58 @@ def test_ga_on_mixed_integer():
     sol = Solver.solve(db, MICotwin(), agent, n_jobs=2,
                        logging_level=SolverLoggingLevels.Silent, seed=21)
     assert sol[1]["simple_value"] < 60.0
+
+
+def test_sa_auto_temperature_per_step_schedule():
+    # the runner lerps inverted_accomplish_rate .. _end across the chunk's
+    # steps (reference injects the rate before EVERY step,
+    # `agent_base.rs:537-552`); the temperature stored after the chunk is
+    # the one used at the last step: start + (end-start)*(n-1)/n
+    import jax
+    import jax.numpy as jnp
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+    from greyjack_tpu.parallel import IslandRunner
+
+    db = NQDomain(8, 45)
+    domain = db.build_domain_from_scratch()
+    cotwin = NQCotwin(False).build_cotwin(domain, False)
+    req = ScoreRequester(cotwin)
+    agent = SimulatedAnnealing([1.0], None, 0.0, None, SWAP_ONLY, 4,
+                               StepsLimit(100))
+    kernel = agent.build_kernel(req, None)
+    runner = IslandRunner(kernel, n_islands=2, migration_frequency=4)
+    state = runner.init(jax.random.key(0))
+    alive = jnp.ones((2,), bool)
+    extras = {
+        "inverted_accomplish_rate": jnp.asarray([1.0, 1.0]),
+        "inverted_accomplish_rate_end": jnp.asarray([0.6, 0.2]),
+    }
+    state = runner.run_chunk(state, jax.random.key(1), alive, extras, 4)
+    temps = np.asarray(state["islands"]["temperature"])[:, 0]
+    np.testing.assert_allclose(temps[0], 1.0 + (0.6 - 1.0) * 3 / 4, rtol=1e-12)
+    np.testing.assert_allclose(temps[1], 1.0 + (0.2 - 1.0) * 3 / 4, rtol=1e-12)
+
+
+def test_steps_left_budget_freezes_islands():
+    # a full-size chunk with per-island budgets must advance exactly
+    # budget[i] steps on island i (StepsLimit exactness without per-trim
+    # recompiles)
+    import jax
+    import jax.numpy as jnp
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+    from greyjack_tpu.parallel import IslandRunner
+    from greyjack_tpu.agents import TabuSearch
+
+    db = NQDomain(8, 45)
+    domain = db.build_domain_from_scratch()
+    cotwin = NQCotwin(False).build_cotwin(domain, False)
+    req = ScoreRequester(cotwin)
+    agent = TabuSearch(8, 0.0, True, None, SWAP_ONLY, 6, StepsLimit(100))
+    kernel = agent.build_kernel(req, None)
+    runner = IslandRunner(kernel, n_islands=3, migration_frequency=6)
+    state = runner.init(jax.random.key(0))
+    alive = jnp.ones((3,), bool)
+    state = runner.run_chunk(state, jax.random.key(1), alive, {}, 6,
+                             steps_left=jnp.asarray([6, 2, 0], jnp.int32))
+    steps = np.asarray(state["islands"]["step_id"])
+    assert steps.tolist() == [6, 2, 0]
