@@ -217,6 +217,7 @@ def _late_from_buffers(bufs, valid, length, veh_ids, utils):
     prefix ct is 0 and floor is -inf, so post[:, -1] IS the route's final
     arrival — no indexed read needed.
     """
+    acc = utils["acc_dtype"]
     a, wd = valid.shape
     big = jnp.asarray(1 << 30, jnp.int32)
     ct = jnp.where(valid, bufs["r_ct"], 0)
@@ -228,8 +229,7 @@ def _late_from_buffers(bufs, valid, length, veh_ids, utils):
     late = jnp.where(valid, jnp.maximum(post - bufs["r_ce"], 0), 0)
     has = length > 0
     overtime = jnp.where(has, jnp.maximum(post[:, -1] - w1, 0), 0)
-    return (jnp.sum(late.astype(jnp.int64), axis=1)
-            + overtime.astype(jnp.int64))
+    return jnp.sum(late, axis=1, dtype=acc) + overtime.astype(acc)
 
 
 def _buffer_metrics(bufs, veh_ids, utils, return_legs=False):
@@ -241,6 +241,7 @@ def _buffer_metrics(bufs, veh_ids, utils, return_legs=False):
     masked chain-leg matrix i32[A, W-1] when `return_legs` — with
     per-vehicle semantics identical to `routes.vrp_routes_packed`.
     """
+    acc = utils["acc_dtype"]
     l = utils["n_locations"]
     dmf = utils["dm_flat_milli"]
     n = utils["n_stops"]
@@ -257,14 +258,14 @@ def _buffer_metrics(bufs, veh_ids, utils, return_legs=False):
     first = rc[:, 0]
     last_onehot = jnp.arange(wd)[None, :] == (length[:, None] - 1)
     last = jnp.sum(jnp.where(last_onehot, rc, 0), axis=1, dtype=jnp.int32)
-    ends = (dmf[depots * l + first].astype(jnp.int64)
-            + dmf[last * l + depots].astype(jnp.int64))
-    dist = jnp.where(has, ends + jnp.sum(legs.astype(jnp.int64), axis=1), 0)
+    ends = (dmf[depots * l + first].astype(acc)
+            + dmf[last * l + depots].astype(acc))
+    dist = jnp.where(has, ends + jnp.sum(legs, axis=1, dtype=acc), 0)
 
     if utils["time_windowed"]:
         late_total = _late_from_buffers(bufs, valid, length, veh_ids, utils)
     else:
-        late_total = jnp.zeros((a,), jnp.int64)
+        late_total = jnp.zeros((a,), acc)
     if return_legs:
         return dist, late_total, length, legs
     return dist, late_total, length
@@ -633,16 +634,17 @@ def _delta_parts_small(ctx, delta, utils):
     start_leg = jnp.where(has, gvals[3 * kd:3 * kd + a2], 0)
     end_leg = jnp.where(has, gvals[3 * kd + a2:], 0)
 
+    acc = utils["acc_dtype"]
     corr = jnp.where(ev, leg_new - carried, 0)
     corr_by_route = jnp.sum(
         jnp.where(idxa[None, :] == er[:, None],
-                  corr[:, None].astype(jnp.int64), 0), axis=0)
+                  corr[:, None].astype(acc), 0), axis=0, dtype=acc)
     chain = (jnp.sum(jnp.where(valid_j[:, :-1] & valid_j[:, 1:],
-                               bufs["r_leg"][:, :-1], 0).astype(jnp.int64),
-                     axis=1)
+                               bufs["r_leg"][:, :-1], 0),
+                     axis=1, dtype=acc)
              + corr_by_route)
-    dist = jnp.where(has, start_leg.astype(jnp.int64)
-                     + end_leg.astype(jnp.int64) + chain, 0)
+    dist = jnp.where(has, start_leg.astype(acc)
+                     + end_leg.astype(acc) + chain, 0)
 
     # exact r_leg for ctx updates: patch dirty pairs, zero out-of-pair slots
     rl_patch = jnp.sum(jnp.where(pair_l & ev[:, None, None],
@@ -657,7 +659,7 @@ def _delta_parts_small(ctx, delta, utils):
     if utils["time_windowed"]:
         late = _late_from_buffers(bufs, valid_j, length, av_safe, utils)
     else:
-        late = jnp.zeros((a2,), jnp.int64)
+        late = jnp.zeros((a2,), acc)
 
     cap_a = utils["capacities"][av_safe]
     m = arep
@@ -913,8 +915,31 @@ class CotwinBuilder(CotwinBuilderBase):
                 "service_time",
                 jnp.asarray(np.array([c.service_time for c in cust], np.int32)))
 
-        calculator.add_utility_object("route_cap", _route_cap(n_stops, k))
+        route_cap = _route_cap(n_stops, k)
+        calculator.add_utility_object("route_cap", route_cap)
         calculator.add_utility_object("n_stops", n_stops)
+        # static accumulation dtype for per-route metrics: i64 is software-
+        # emulated on the VPU (~10-50x slower elementwise, DESIGN.md §1), so
+        # use i32 whenever host-side instance bounds guarantee 4x headroom
+        # against overflow. Bounds come from coordinates/facts — computing
+        # them from the device distance matrix would force a device->host
+        # transfer (minutes on the tunneled backend).
+        xs = [c.latitude for c in cust]
+        ys = [c.longitude for c in cust]
+        dm_max_milli = int(1000.0 * (
+            (max(xs) - min(xs)) ** 2 + (max(ys) - min(ys)) ** 2) ** 0.5) + 1
+        dist_bound = (route_cap + 2) * dm_max_milli
+        late_bound = 0
+        if domain.time_windowed:
+            ct_max = max(c.service_time for c in cust)
+            floor_max = max(c.time_window_start + c.service_time
+                            for c in cust)
+            w_max = max(v.work_day_start for v in domain.vehicles)
+            t_max = max(w_max, floor_max) + (route_cap + 1) * ct_max
+            late_bound = (route_cap + 1) * t_max
+        acc_i32 = 4 * max(dist_bound, late_bound) < 2 ** 31
+        calculator.add_utility_object(
+            "acc_dtype", jnp.int32 if acc_i32 else jnp.int64)
         calculator.add_prescoring_function("build_common", build_common)
         calculator.add_constraint("no_duplicating_stops_constraint",
                                   no_duplicating_stops_constraint)

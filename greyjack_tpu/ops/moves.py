@@ -309,7 +309,6 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
 
     g = jax.random.randint(k_group, (), 0, max(1, cfg.n_groups))
     length = vm.group_sizes[g].astype(jnp.int32)
-    members_row = vm.group_members[g]
 
     if cfg.rates_zero:
         c_raw = jnp.zeros((), jnp.int32)
@@ -327,19 +326,29 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
 
     is_edges = (move_type == 2) if 2 in enabled else False
     sel_limit = jnp.where(is_edges, length - 1, length)
-    tabu_mask = None
-    if cfg.use_tabu and tabu_masks is not None:
-        tabu_mask = selection.tabu_mask_row(tabu_masks, g)
-    sel = selection.gumbel_topk_positions(k_sel, sel_limit, ks, tabu_mask,
-                                          lmax)
-    sel_vars = members_row[sel]
+    if ks == 2:
+        # hot narrow configs: O(1) distinct-pair draw — no [group_len]-wide
+        # Gumbel field or top-k per neighbour (see
+        # `selection.sample_distinct_pair`)
+        masks2 = tabu_masks if (cfg.use_tabu and tabu_masks is not None) \
+            else None
+        sel = selection.sample_distinct_pair(k_sel, sel_limit, masks2, g)
+    else:
+        tabu_mask = None
+        if cfg.use_tabu and tabu_masks is not None:
+            tabu_mask = selection.tabu_mask_row(tabu_masks, g)
+        sel = selection.gumbel_topk_positions(k_sel, sel_limit, ks, tabu_mask,
+                                              lmax)
+    sel_vars = vm.group_members[g, sel]  # fused (g, sel) gather — no row
 
-    # padded member row: dynamic slices near the group end stay aligned
-    # (slice starts are never clamped) and rows shorter than the slice width
-    # still trace; out-of-group slots repeat the last member and are always
-    # masked by `valid`
-    mr_pad = jnp.concatenate(
-        [members_row, jnp.broadcast_to(members_row[-1], (kd,))])
+    if {3, 4, 5} & enabled:
+        # padded member row for window slices: dynamic slices near the group
+        # end stay aligned and rows shorter than the slice width still
+        # trace; out-of-group slots repeat the last member and are always
+        # masked by `valid`. Only windowed moves pay for the row.
+        members_row = vm.group_members[g]
+        mr_pad = jnp.concatenate(
+            [members_row, jnp.broadcast_to(members_row[-1], (kd,))])
 
     jj = jnp.arange(kd, dtype=jnp.int32)
 
@@ -357,7 +366,7 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
             if len(cfg.enabled) > 1 else True
         positions = jnp.where(is01, pad_sel, positions)
     if 2 in enabled:
-        sel_next_vars = members_row[jnp.minimum(sel + 1, lmax - 1)]
+        sel_next_vars = vm.group_members[g, jnp.minimum(sel + 1, lmax - 1)]
         pos2 = pad_to_kd(jnp.concatenate([sel_vars, sel_next_vars]))
         positions = jnp.where(move_type == 2, pos2, positions)
     if 3 in enabled:
