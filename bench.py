@@ -36,7 +36,9 @@ N_CUSTOMERS = int(os.environ.get("GJ_BENCH_CUSTOMERS", "1000"))
 N_DEPOTS = 8
 K_VEHICLES = 40
 N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "8"))
-NEIGHBOURS = int(os.environ.get("GJ_BENCH_NEIGHBOURS", "256"))
+# 2048 is the measured knee (scripts/sweep_geometry.py 2026-08-19: 784k
+# moves/s at 8x2048; 4096/8192 scale step time linearly — compute-bound)
+NEIGHBOURS = int(os.environ.get("GJ_BENCH_NEIGHBOURS", "2048"))
 CHUNK_STEPS = int(os.environ.get("GJ_BENCH_CHUNK_STEPS", "10"))
 TARGET_SECONDS = float(os.environ.get("GJ_BENCH_SECONDS", "20"))
 
