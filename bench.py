@@ -64,10 +64,10 @@ def main():
     t0 = time.time()
     domain = generate_instance(N_CUSTOMERS, N_DEPOTS, K_VEHICLES, seed=37,
                                time_windowed=True)
-    # use_greed_init=False: the greedy init's host read-back is a device->
-    # host transfer, which is minutes-slow over the axon tunnel; throughput
-    # is init-independent
-    cotwin = CotwinBuilder(True, False).build_cotwin(domain, False)
+    # greedy init runs host-side off the device entirely (numpy rebuild of
+    # the distance matrix), so the bench starts from the reference's own
+    # feasible greedy solution (`cotwin_builder.rs:153-255`)
+    cotwin = CotwinBuilder(True, True).build_cotwin(domain, False)
     req = ScoreRequester(cotwin)
     agent = TabuSearch(NEIGHBOURS, 0.2, True, None,
                        [0.5, 0.5, 0.0, 0.0, 0.0, 0.0], CHUNK_STEPS,

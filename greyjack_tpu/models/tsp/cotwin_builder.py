@@ -190,7 +190,14 @@ class CotwinBuilder(CotwinBuilderBase):
         if is_already_initialized and domain.trip_path:
             initial_ids = [int(i) for i in domain.trip_path]
         elif self.use_greed_init:
-            initial_ids = np.asarray(greedy_tour(domain.distance_matrix)).tolist()
+            # host-side matrix rebuild: the domain's matrix is a device
+            # array and the first device->host transfer per process is
+            # minutes-slow on tunneled backends (DESIGN.md §1)
+            xs = np.array([lc.latitude for lc in domain.locations_vec])
+            ys = np.array([lc.longitude for lc in domain.locations_vec])
+            dm_host = np.sqrt((xs[:, None] - xs[None, :]) ** 2
+                              + (ys[:, None] - ys[None, :]) ** 2)
+            initial_ids = np.asarray(greedy_tour(dm_host)).tolist()
         else:
             initial_ids = [i + 1 for i in range(n_stops)]
 

@@ -440,25 +440,16 @@ def _delta_parts_sorted(ctx, delta, utils):
             "new_dups": new_dups, "over_cap": over_cap}
 
 
-def _delta_parts_small(ctx, delta, utils):
-    """Narrow-delta analysis (KD <= 4): shift-merge + carried-leg accounting.
-
-    The whole per-neighbour pipeline is elementwise over [A, R] grids plus
-    ONE consolidated distance-matrix gather of [3*KD + 2*A] entries — no
-    sort, no scatter, no full-width gather (design rationale in the section
-    comment above; operator costs in scripts/bench_ops.py).
-    """
-    delta = moves.dedupe_delta(delta)
+def _delta_common(ctx, delta, utils):
+    """Shared per-neighbour scalar analysis: patched (vehicle, customer)
+    values, affected-route table, row->route-slot maps. Used identically by
+    the XLA shift-merge kernel (`_delta_parts_small`) and the Pallas fused
+    kernel (`delta_pallas.py`). `delta` must already be deduped."""
     schema = utils["delta_schema"]
     k = utils["k_vehicles"]
-    r = utils["route_cap"]
     n = ctx["v"].shape[0]
-    l = utils["n_locations"]
-    dmf = utils["dm_flat_milli"]
     kd = delta["positions"].shape[0]
-    a2 = 2 * kd
 
-    # --- per-row patched values (same contract as the sorted path) ----------
     rows = schema["var_row"][delta["positions"]]
     cols = schema["var_col"][delta["positions"]]
     valid = delta["valid"]
@@ -484,10 +475,9 @@ def _delta_parts_small(ctx, delta, utils):
     veh_changed = rep & (new_v != old_v)
     stay = rep & ~veh_changed
 
-    # --- affected routes ------------------------------------------------------
     av = jnp.concatenate([jnp.where(rep, old_v, k),
                           jnp.where(veh_changed, new_v, k)])
-    idxa = jnp.arange(a2)
+    idxa = jnp.arange(2 * kd)
     eqa = av[:, None] == av[None, :]
     arep = (av < k) & ~jnp.any(eqa & (idxa[None, :] < idxa[:, None]), axis=1)
     av_safe = jnp.minimum(av, k - 1)
@@ -496,9 +486,51 @@ def _delta_parts_small(ctx, delta, utils):
                           axis=1).astype(jnp.int32)
     a_of_new = jnp.argmax((av[None, :] == new_v[:, None]) & arep[None, :],
                           axis=1).astype(jnp.int32)
+    slot_of_row = ctx["pos"][rows]
+    return {"rows": rows, "rep": rep, "valid": valid, "old_v": old_v,
+            "old_c": old_c, "new_v": new_v, "new_c": new_c,
+            "veh_changed": veh_changed, "stay": stay, "av": av,
+            "arep": arep, "av_safe": av_safe, "a_of_row": a_of_row,
+            "a_of_new": a_of_new, "slot_of_row": slot_of_row,
+            "new_dups": new_dups}
+
+
+def _delta_parts_small(ctx, delta, utils):
+    """Narrow-delta analysis (KD <= 4): shift-merge + carried-leg accounting.
+
+    The whole per-neighbour pipeline is elementwise over [A, R] grids plus
+    ONE consolidated distance-matrix gather of [3*KD + 2*A] entries — no
+    sort, no scatter, no full-width gather (design rationale in the section
+    comment above; operator costs in scripts/bench_ops.py).
+    """
+    delta = moves.dedupe_delta(delta)
+    k = utils["k_vehicles"]
+    r = utils["route_cap"]
+    n = ctx["v"].shape[0]
+    l = utils["n_locations"]
+    dmf = utils["dm_flat_milli"]
+    kd = delta["positions"].shape[0]
+    a2 = 2 * kd
+    idxa = jnp.arange(a2)
+
+    c = _delta_common(ctx, delta, utils)
+    rows = c["rows"]
+    rep = c["rep"]
+    old_c = c["old_c"]
+    new_v = c["new_v"]
+    new_c = c["new_c"]
+    old_v = c["old_v"]
+    veh_changed = c["veh_changed"]
+    stay = c["stay"]
+    av = c["av"]
+    arep = c["arep"]
+    av_safe = c["av_safe"]
+    a_of_row = c["a_of_row"]
+    a_of_new = c["a_of_new"]
+    slot_of_row = c["slot_of_row"]
+    new_dups = c["new_dups"]
 
     base = {name: ctx[name][av_safe] for name in _ALL_BUF_KEYS}  # [A, R]
-    slot_of_row = ctx["pos"][rows]
 
     jgrid = jnp.arange(r, dtype=jnp.int32)
     # per-row one-hot grids [KD, A, R] (tiny: KD*A*R), scatter-free
@@ -816,7 +848,19 @@ class CotwinBuilder(CotwinBuilderBase):
                                   np.int64)
             depot_ids = np.array([v.depot_vec_id for v in domain.vehicles],
                                  np.int32)
-            veh, cust = greedy_init(domain.distance_matrix, demands,
+            # host-side distance matrix rebuilt from coordinates: the
+            # domain's matrix is a DEVICE array and the first device->host
+            # transfer per process is minutes-slow on tunneled backends
+            # (DESIGN.md §1). The greedy init only needs nearest-neighbour
+            # argmins, where sub-ulp sqrt differences vs the device matrix
+            # are quality-neutral.
+            xs = np.array([c.latitude for c in domain.customers_vec])
+            ys = np.array([c.longitude for c in domain.customers_vec])
+            d = np.sqrt((xs[:, None] - xs[None, :]) ** 2
+                        + (ys[:, None] - ys[None, :]) ** 2)
+            fl = np.floor(d)
+            dm_host = fl + np.floor((d - fl) * 1000.0) / 1000.0
+            veh, cust = greedy_init(dm_host, demands,
                                     capacities, depot_ids, n_depots)
             valid = veh >= 0
             veh, cust = veh[valid].tolist(), cust[valid].tolist()
@@ -940,6 +984,10 @@ class CotwinBuilder(CotwinBuilderBase):
         acc_i32 = 4 * max(dist_bound, late_bound) < 2 ** 31
         calculator.add_utility_object(
             "acc_dtype", jnp.int32 if acc_i32 else jnp.int64)
+        # magnitude bounds for the Pallas kernel's f32-exact one-hot matmul
+        calculator.add_utility_object("dm_max_milli", dm_max_milli)
+        calculator.add_utility_object(
+            "t_max", t_max if domain.time_windowed else 0)
         calculator.add_prescoring_function("build_common", build_common)
         calculator.add_constraint("no_duplicating_stops_constraint",
                                   no_duplicating_stops_constraint)
@@ -951,5 +999,7 @@ class CotwinBuilder(CotwinBuilderBase):
         if self.use_incremental_score_calculation and not self.exact_fp_scores:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
                                          update_ctx)
+            from greyjack_tpu.models.vrp import delta_pallas
+            calculator.set_delta_batch_kernel(delta_pallas.score_delta_batch)
         cotwin.add_score_calculator(calculator)
         return cotwin

@@ -129,6 +129,14 @@ class IncrementalScoreCalculator(PlainScoreCalculator):
         self.delta_score_fn = score_delta
         self.delta_update_fn = update_ctx
 
+    def set_delta_batch_kernel(self, score_delta_batch):
+        """Optionally register a whole-neighbourhood scorer
+        `(ctx, deltas[P, K], utils) -> f64[P, S] | None` (e.g. a fused
+        Pallas kernel). Returning None means "statically ineligible for
+        this shape/instance" — the requester falls back to vmapping the
+        per-delta kernel."""
+        self.delta_score_batch_fn = score_delta_batch
+
     @property
     def has_delta_kernels(self):
         return self.delta_ctx_fn is not None

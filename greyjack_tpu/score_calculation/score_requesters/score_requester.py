@@ -153,6 +153,12 @@ class ScoreRequester:
         calc = self.cotwin.score_calculator
         utils = self._delta_utils()
 
+        batch_fn = getattr(calc, "delta_score_batch_fn", None)
+        if batch_fn is not None:
+            out = batch_fn(ctx, deltas, utils)  # None = statically ineligible
+            if out is not None:
+                return out
+
         def one(delta):
             return calc.delta_score_fn(ctx, delta, utils)
 
