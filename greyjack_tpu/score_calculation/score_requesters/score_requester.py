@@ -78,9 +78,12 @@ class ScoreRequester:
                 c: bool(variables[ids[0]].is_discrete)
                 for c, ids in var_id_cols.items()
             }
-            schema["var_ids"] = {
-                c: jnp.asarray(np.asarray(ids, dtype=np.int32))
+            schema["var_ids_np"] = {
+                c: np.asarray(ids, dtype=np.int32)
                 for c, ids in var_id_cols.items()
+            }
+            schema["var_ids"] = {
+                c: jnp.asarray(v) for c, v in schema["var_ids_np"].items()
             }
             # affine index patterns (start + stride*i) become strided slices
             # instead of gathers — gathers are ~10ns/element on TPU
@@ -118,7 +121,9 @@ class ScoreRequester:
             planning_cols = [c for c, kind in schema["columns"]
                              if kind == "planning"]
             for ci, col in enumerate(planning_cols):
-                ids = np.asarray(schema["var_ids"][col])
+                # host copy — np.asarray on the device array would stall on
+                # the first device->host transfer (minutes on tunneled links)
+                ids = schema["var_ids_np"][col]
                 var_row[ids] = np.arange(len(ids), dtype=np.int32)
                 var_col[ids] = ci
         self.var_row = jnp.asarray(var_row)

@@ -54,7 +54,18 @@ class Solver:
         initial_solution=None,
         mesh=None,
         seed=None,
+        checkpoint_path=None,
+        checkpoint_frequency=10,
+        resume_from=None,
     ):
+        """checkpoint_path: if set, the full solve state (island pytree, RNG
+        key, termination strategies, alive mask) is written there atomically
+        every `checkpoint_frequency` chunks and at termination.
+        resume_from: a path (or loaded dict) from `checkpoint.load_checkpoint`
+        — the program is rebuilt from the builders (which must match the
+        checkpointed config) and solving continues exactly where it stopped
+        (SURVEY.md §5: device-state checkpointing on top of the reference's
+        solution-JSON round-trip, `initial_solution_variants.rs:3-8`)."""
         # --- domain dispatch (`solver.rs:106-119`) ------------------------
         if initial_solution is None:
             domain = domain_builder.build_domain_from_scratch()
@@ -90,16 +101,30 @@ class Solver:
             compare_to_global=compare_to_global,
         )
 
-        if seed is None:
-            seed = np.random.SeedSequence().entropy % (2**63)
-        key = jax.random.key(int(seed))
-        key, init_key = jax.random.split(key)
-        state = runner.init(init_key)
+        resumed = None
+        if resume_from is not None:
+            from greyjack_tpu.solver.checkpoint import load_checkpoint
+            resumed = (resume_from if isinstance(resume_from, dict)
+                       else load_checkpoint(resume_from))
 
-        strategies = [
-            agent_builder.termination_strategy.clone() for _ in range(n_jobs)
-        ]
-        alive = np.ones(n_jobs, dtype=bool)
+        if resumed is not None:
+            key = resumed["key"]
+            state = resumed["state"]
+            strategies = resumed["strategies"]
+            alive = np.asarray(resumed["alive"], dtype=bool).copy()
+            chunk_id = resumed["chunk_id"]
+        else:
+            if seed is None:
+                seed = np.random.SeedSequence().entropy % (2**63)
+            key = jax.random.key(int(seed))
+            key, init_key = jax.random.split(key)
+            state = runner.init(init_key)
+            strategies = [
+                agent_builder.termination_strategy.clone()
+                for _ in range(n_jobs)
+            ]
+            alive = np.ones(n_jobs, dtype=bool)
+            chunk_id = 0
         vm = requester.variables_manager
         solving_start = time.time()
         is_sa_auto = (
@@ -107,9 +132,19 @@ class Solver:
             and agent_builder.metaheuristic_name == "SimulatedAnnealing"
         )
 
+        def _save(final=False):
+            if checkpoint_path is None:
+                return
+            if not final and chunk_id % max(1, checkpoint_frequency) != 0:
+                return
+            from greyjack_tpu.solver.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, state=state, key=key,
+                            strategies=strategies, alive=alive,
+                            chunk_id=chunk_id,
+                            meta={"n_jobs": n_jobs, "seed": seed})
+
         global_score_obj = None
         solution_json = None
-        chunk_id = 0
         while True:
             # fixed chunk size (ONE compiled program); per-island step
             # budgets keep StepsLimit exact by freezing islands mid-chunk
@@ -171,6 +206,7 @@ class Solver:
             _log(logging_level, chunk_id, steps, new_global, improved,
                  solving_start, int(np.sum(alive)))
             chunk_id += 1
+            _save(final=not alive.any())
             if not alive.any():
                 break
 
