@@ -28,6 +28,8 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -381,13 +383,17 @@ def score_delta_batch(ctx, deltas, utils):
     global _NATIVE_ROLL
     _NATIVE_ROLL = not _interpret()   # set before the kernel traces
     kern = functools.partial(_kernel, kk=kveh, rp=rp, kd=kd, tw=tw)
-    row_spec = lambda c_: pl.BlockSpec((nba, c_), lambda i: (i, 0),
+    # index maps must return i32 np scalars (literals): under jax_enable_x64
+    # a Python 0 traces as i64 and Mosaic fails to legalize the transform
+    # func.return; jnp constants are rejected as captured consts
+    zero = np.int32(0)
+    row_spec = lambda c_: pl.BlockSpec((nba, c_), lambda i: (i, zero),
                                        memory_space=pltpu.VMEM)
     misc, u_pk, v_pk, c_pk = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((kveh, 6 * rp), lambda i: (0, 0),
+            pl.BlockSpec((kveh, 6 * rp), lambda i: (zero, zero),
                          memory_space=pltpu.VMEM),
             row_spec(1), row_spec(8), row_spec(8), row_spec(8), row_spec(8),
         ],
