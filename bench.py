@@ -43,7 +43,7 @@ CHUNK_STEPS = int(os.environ.get("GJ_BENCH_CHUNK_STEPS", "10"))
 TARGET_SECONDS = float(os.environ.get("GJ_BENCH_SECONDS", "20"))
 
 
-def main():
+def run():
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +114,27 @@ def main():
         "unit": "moves/s",
         "vs_baseline": round(throughput / REFERENCE_CPU_BASELINE, 3),
     }), flush=True)
+
+
+def main():
+    """Crash-proof driver entry: a failure anywhere on the default (Pallas)
+    path — compile OOM, Mosaic lowering regression, runtime fault — retries
+    the whole run on the pure-XLA path (`GJ_NO_PALLAS=1`, an eligibility
+    gate checked at trace time, `delta_pallas.py:eligible`). Round 2 died
+    for lack of exactly this fallback (VERDICT.md item 1)."""
+    try:
+        run()
+        return
+    except Exception as e:  # noqa: BLE001 - last-resort bench fallback
+        if os.environ.get("GJ_NO_PALLAS"):
+            raise  # already on the fallback path; nothing left to try
+        msg = str(e).replace("\n", " ")[:300]
+        print(f"# pallas path failed ({type(e).__name__}: {msg}); "
+              "retrying with GJ_NO_PALLAS=1", flush=True)
+    os.environ["GJ_NO_PALLAS"] = "1"
+    import jax
+    jax.clear_caches()  # drop jitted chunk programs traced with the kernel
+    run()
 
 
 if __name__ == "__main__":

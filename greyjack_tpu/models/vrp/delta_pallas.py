@@ -38,43 +38,71 @@ from jax.experimental.pallas import tpu as pltpu
 from greyjack_tpu.ops import moves, lexico
 
 _BIG = 1 << 30
-_NB = 128  # neighbours per Pallas program
+
+# --- VMEM-aware program sizing -------------------------------------------
+# Round 2 shipped a hard-coded 128 neighbours/program and OOMed the 16MB
+# scoped-VMEM stack by 104KB at the flagship geometry (BENCH_r02.json:
+# "Scoped allocation with size 16.10M and limit 16.00M"). The footprint is
+# dominated by [NB*2KD, Rp] i32 intermediates; calibrating against that
+# measured point (NB=128, KD=2, Rp=128, tw -> 16.10M) gives ~61 such live
+# tiles for the time-windowed kernel. We model scoped VMEM as
+# UNITS * (NB*2KD) * Rp * 4B and pick the largest NB that stays under a
+# conservative budget, leaving headroom for Mosaic's own scratch.
+_VMEM_UNITS_TW = 72       # measured 61.4; margin for Mosaic version drift
+_VMEM_UNITS_NOTW = 48     # no ct/fl/ce merge keys, no lateness scan arrays
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-_NATIVE_ROLL = True
+def pick_nb(p, kd, rp, tw):
+    """Largest neighbours-per-program dividing `p` whose estimated scoped
+    VMEM fits the budget; None if even NB=8 does not fit (caller falls back
+    to the XLA path). Env `GJ_PALLAS_NB` pins the value for sweeps."""
+    env = os.environ.get("GJ_PALLAS_NB")
+    if env:
+        nb = int(env)
+        return nb if p % nb == 0 else None
+    units = _VMEM_UNITS_TW if tw else _VMEM_UNITS_NOTW
+    for nb in (256, 128, 64, 32, 16, 8):
+        if p % nb != 0:
+            continue
+        if units * (nb * 2 * kd) * rp * 4 <= _VMEM_BUDGET:
+            return nb
+    return None
 
 
-def _roll_lanes(x, s, width):
+def _roll_lanes(x, s, width, native):
     """Static circular right-shift along the lane axis. pltpu.roll on
     hardware (unaligned lane slice+concat triggers pathological Mosaic
     relayouts); slice+concat in the interpreter (pltpu.roll has no
-    interpreter rule)."""
+    interpreter rule). `native` is a trace-time static passed down from
+    pallas_call's interpret flag — NOT module state (round-2 weakness: a
+    module global flipped at call time is invisible to jit cache keys)."""
     s = s % width
     if s == 0:
         return x
-    if _NATIVE_ROLL:
+    if native:
         # shift must be i32: the x64-default i64 scalar fails tpu.dynamic_rotate
         return pltpu.roll(x, shift=jnp.int32(s), axis=1)
     return jnp.concatenate([x[:, width - s:], x[:, :width - s]], axis=1)
 
 
-def _psum_lanes(x, lane, width):
+def _psum_lanes(x, lane, width, native):
     """Inclusive prefix sum along lanes (log-doubling; wrapped lanes are
     masked by the `lane >= step` guard). int32 literals throughout: weak
     Python ints trace as i64 under x64 and Mosaic cannot lower the cast."""
     step = 1
     while step < width:
-        x = x + jnp.where(lane >= step, _roll_lanes(x, step, width),
+        x = x + jnp.where(lane >= step, _roll_lanes(x, step, width, native),
                           jnp.int32(0))
         step *= 2
     return x
 
 
-def _pmax_lanes(x, lane, width, neutral):
+def _pmax_lanes(x, lane, width, neutral, native):
     step = 1
     while step < width:
         x = jnp.maximum(
-            x, jnp.where(lane >= step, _roll_lanes(x, step, width),
+            x, jnp.where(lane >= step, _roll_lanes(x, step, width, native),
                          jnp.int32(neutral)))
         step *= 2
     return x
@@ -86,7 +114,7 @@ def _extract(mask_lane, arr):
 
 
 def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
-            misc_ref, u_ref, v_ref, c_ref, *, kk, rp, kd, tw):
+            misc_ref, u_ref, v_ref, c_ref, *, kk, rp, kd, tw, native):
     nba = av_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (nba, rp), 1)
 
@@ -118,7 +146,7 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
     for k in range(kd):
         cleared = cleared | (lane == sc_ref[:, kd + k:kd + k + 1])
     cleared_i = jnp.where(cleared, jnp.int32(1), jnp.int32(0))
-    rem_before = _psum_lanes(cleared_i, lane, rp) - cleared_i
+    rem_before = _psum_lanes(cleared_i, lane, rp, native) - cleared_i
     ins_before = jnp.zeros((nba, rp), jnp.int32)
     iflag = []
     for k in range(kd):
@@ -138,7 +166,8 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
         keep = (lane >= s) if s >= 0 else (lane < rp + s)
         for i, key in enumerate(keys):
             merged[i] = merged[i] + jnp.where(
-                keep, _roll_lanes(jnp.where(m, key, jnp.int32(0)), s, rp),
+                keep, _roll_lanes(jnp.where(m, key, jnp.int32(0)), s, rp,
+                                  native),
                 jnp.int32(0))
 
     # --- inserts -------------------------------------------------------------
@@ -171,8 +200,8 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
         m_ct, m_fl, m_ce = merged[2], merged[3], merged[4]
         ct = jnp.where(vj, m_ct, jnp.int32(0))
         fl = jnp.where(vj, m_fl, jnp.int32(-_BIG))
-        p = _psum_lanes(ct, lane, rp)
-        cm = _pmax_lanes(fl - p, lane, rp, -_BIG)
+        p = _psum_lanes(ct, lane, rp, native)
+        cm = _pmax_lanes(fl - p, lane, rp, -_BIG, native)
         w0 = sc_ref[:, 2 * kd:2 * kd + 1]
         w1 = sc_ref[:, 2 * kd + 1:2 * kd + 2]
         post = p + jnp.maximum(w0, cm)
@@ -242,11 +271,14 @@ def eligible(utils, deltas):
         return False
     kd = deltas["positions"].shape[-1]
     p = deltas["positions"].shape[0]
-    if kd > 2 or p % _NB != 0:
+    if kd > 2:
         return False
     if utils["acc_dtype"] != jnp.int32:
         return False
     if utils["route_cap"] > 512:
+        return False
+    rp = -(-utils["route_cap"] // 128) * 128
+    if pick_nb(p, kd, rp, bool(utils["time_windowed"])) is None:
         return False
     # one-hot matmul exactness: every ctx payload must be f32-exact
     bound = max(utils["n_stops"], utils["n_locations"],
@@ -378,11 +410,11 @@ def score_delta_batch(ctx, deltas, utils):
         jnp.pad(ctx["r_leg"], ((0, 0), (0, pad))),
     ], axis=1)                                             # [K, 6*Rp]
 
-    nba = _NB * a2
-    grid = p // _NB
-    global _NATIVE_ROLL
-    _NATIVE_ROLL = not _interpret()   # set before the kernel traces
-    kern = functools.partial(_kernel, kk=kveh, rp=rp, kd=kd, tw=tw)
+    nb = pick_nb(p, kd, rp, tw)
+    nba = nb * a2
+    grid = p // nb
+    kern = functools.partial(_kernel, kk=kveh, rp=rp, kd=kd, tw=tw,
+                             native=not _interpret())
     # index maps must return i32 np scalars (literals): under jax_enable_x64
     # a Python 0 traces as i64 and Mosaic fails to legalize the transform
     # func.return; jnp constants are rejected as captured consts

@@ -8,11 +8,18 @@ Must run before jax initializes:
 
 import os
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# GJ_TESTS_TPU=1 opts into running on the real TPU backend (used by the
+# hardware-only suites, e.g. test_delta_pallas_tpu.py — VERDICT r2 item 4:
+# interpret-mode parity cannot catch Mosaic/VMEM failures). Default: CPU.
+_ON_TPU = bool(os.environ.get("GJ_TESTS_TPU"))
+
+if not _ON_TPU:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 # The axon TPU tunnel registers its PJRT plugin from sitecustomize at
 # interpreter boot — before this conftest runs — so the env vars above are
@@ -20,7 +27,8 @@ os.environ["XLA_FLAGS"] = (
 # happen before any backend is initialized).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: compile time dominates this suite (big fused
 # step graphs), and the cache makes repeat runs fast
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
