@@ -142,11 +142,15 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
         r_ce = jnp.where(pm, pay_ref[:, 4 * k + 3:4 * k + 4], r_ce)
 
     # --- shifts -------------------------------------------------------------
+    # at most KD slots are cleared, so "cleared slots strictly before lane"
+    # is KD compares — no [rp]-wide prefix scan (saves log2(rp) rolls)
     cleared = jnp.zeros((nba, rp), bool)
+    rem_before = jnp.zeros((nba, rp), jnp.int32)
     for k in range(kd):
-        cleared = cleared | (lane == sc_ref[:, kd + k:kd + k + 1])
-    cleared_i = jnp.where(cleared, jnp.int32(1), jnp.int32(0))
-    rem_before = _psum_lanes(cleared_i, lane, rp, native) - cleared_i
+        cp = sc_ref[:, kd + k:kd + k + 1]
+        cleared = cleared | (lane == cp)
+        rem_before = rem_before + jnp.where((cp >= 0) & (cp < lane),
+                                            jnp.int32(1), jnp.int32(0))
     ins_before = jnp.zeros((nba, rp), jnp.int32)
     iflag = []
     for k in range(kd):
@@ -289,19 +293,27 @@ def eligible(utils, deltas):
 
 def score_delta_batch(ctx, deltas, utils):
     """Batched drop-in for vmap(score_delta): f64[P, S] or None if the
-    kernel is statically ineligible (caller falls back to the XLA path)."""
+    kernel is statically ineligible (caller falls back to the XLA path).
+
+    Staged as _pre (XLA analysis + input packing) -> pallas_call -> _post
+    (dm gather + score assembly) so each stage is independently timeable
+    (scripts/profile_delta.py) and tunable."""
     if not eligible(utils, deltas):
         return None
+    inputs, aux = _pre(ctx, deltas, utils)
+    outs = _call_kernel(inputs, utils, aux["kd"])
+    return _post(outs, aux, ctx, utils)
 
+
+def _pre(ctx, deltas, utils):
+    """XLA stage 1: per-neighbour scalar analysis (`_delta_common`) and the
+    packed per-(neighbour, route) kernel input columns."""
     kd = deltas["positions"].shape[-1]
     p = deltas["positions"].shape[0]
     a2 = 2 * kd
-    kveh = utils["k_vehicles"]
     r = utils["route_cap"]
     rp = -(-r // 128) * 128
     n = ctx["v"].shape[0]
-    l = utils["n_locations"]
-    dmf = utils["dm_flat_milli"]
     tw = bool(utils["time_windowed"])
 
     from greyjack_tpu.models.vrp.cotwin_builder import (
@@ -410,6 +422,21 @@ def score_delta_batch(ctx, deltas, utils):
         jnp.pad(ctx["r_leg"], ((0, 0), (0, pad))),
     ], axis=1)                                             # [K, 6*Rp]
 
+    inputs = (ctx_mat, av_col, sc_pack, ins_pack, pay_pack, el_pack)
+    aux = {"kd": kd, "c": c, "locus": locus, "length": length,
+           "over_cap": over_cap}
+    return inputs, aux
+
+
+def _call_kernel(inputs, utils, kd):
+    """Stage 2: the fused Mosaic kernel (grid over neighbour blocks)."""
+    ctx_mat, av_col, sc_pack, ins_pack, pay_pack, el_pack = inputs
+    a2 = 2 * kd
+    p = av_col.shape[0] // a2
+    kveh = utils["k_vehicles"]
+    rp = ctx_mat.shape[1] // 6
+    tw = bool(utils["time_windowed"])
+
     nb = pick_nb(p, kd, rp, tw)
     nba = nb * a2
     grid = p // nb
@@ -421,7 +448,7 @@ def score_delta_batch(ctx, deltas, utils):
     zero = np.int32(0)
     row_spec = lambda c_: pl.BlockSpec((nba, c_), lambda i: (i, zero),
                                        memory_space=pltpu.VMEM)
-    misc, u_pk, v_pk, c_pk = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
@@ -433,6 +460,30 @@ def score_delta_batch(ctx, deltas, utils):
         out_shape=[jax.ShapeDtypeStruct((p * a2, 8), jnp.int32)] * 4,
         interpret=_interpret(),
     )(ctx_mat, av_col, sc_pack, ins_pack, pay_pack, el_pack)
+
+
+def _post(outs, aux, ctx, utils):
+    """Stage 3: e-slot reassembly, the one consolidated distance-matrix
+    gather, loads, and lexicographic score assembly."""
+    misc, u_pk, v_pk, c_pk = outs
+    kd = aux["kd"]
+    c = aux["c"]
+    locus = aux["locus"]
+    length = aux["length"]
+    over_cap = aux["over_cap"]
+    a2 = 2 * kd
+    p = length.shape[0]
+    r = utils["route_cap"]
+    l = utils["n_locations"]
+    dmf = utils["dm_flat_milli"]
+    ai = jnp.arange(a2, dtype=jnp.int32)
+
+    rep = c["rep"]
+    old_v, old_c = c["old_v"], c["old_c"]
+    new_v, new_c = c["new_v"], c["new_c"]
+    veh_changed = c["veh_changed"]
+    av, arep, av_safe = c["av"], c["arep"], c["av_safe"]
+    a_of_row, a_of_new = c["a_of_row"], c["a_of_new"]
 
     misc = misc.reshape(p, a2, 8)
     late = misc[:, :, 0]                                    # [P, A] i32

@@ -8,3 +8,7 @@ improvement; here, at each host sync where the global best improved).
 class Observer:
     def update(self, solution) -> None:
         raise NotImplementedError
+
+    def update_metrics(self, record) -> None:
+        """Per-chunk metrics record (see `solver/metrics.py`); override to
+        stream throughput/trajectory telemetry. Default: ignore."""

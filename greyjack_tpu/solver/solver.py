@@ -57,6 +57,8 @@ class Solver:
         checkpoint_path=None,
         checkpoint_frequency=10,
         resume_from=None,
+        metrics=None,
+        profile_dir=None,
     ):
         """checkpoint_path: if set, the full solve state (island pytree, RNG
         key, termination strategies, alive mask) is written there atomically
@@ -65,7 +67,12 @@ class Solver:
         — the program is rebuilt from the builders (which must match the
         checkpointed config) and solving continues exactly where it stopped
         (SURVEY.md §5: device-state checkpointing on top of the reference's
-        solution-JSON round-trip, `initial_solution_variants.rs:3-8`)."""
+        solution-JSON round-trip, `initial_solution_variants.rs:3-8`).
+        metrics: a `solver.metrics.SolverMetrics` collector — filled with one
+        per-chunk record (wall ms, moves/s, best score, migrations) and
+        fanned out to observers implementing `update_metrics`.
+        profile_dir: capture a bounded `jax.profiler` trace of a few mid-run
+        chunks into this directory (SURVEY.md §5 tracing plan)."""
         # --- domain dispatch (`solver.rs:106-119`) ------------------------
         if initial_solution is None:
             domain = domain_builder.build_domain_from_scratch()
@@ -143,6 +150,17 @@ class Solver:
                             chunk_id=chunk_id,
                             meta={"n_jobs": n_jobs, "seed": seed})
 
+        from greyjack_tpu.solver.metrics import ProfileCapture
+
+        profiler = ProfileCapture(profile_dir)
+        if metrics is not None:
+            metrics.start()
+        # scored candidates per island step: neighbourhood size for local
+        # search over batched neighbourhoods, population size for the
+        # population metaheuristics (GA/LSHADE), 1 for LA/SA
+        moves_per_step = (getattr(agent_builder, "neighbours_count", None)
+                          or kernel.population_size)
+
         global_score_obj = None
         solution_json = None
         while True:
@@ -170,11 +188,17 @@ class Solver:
                     dtype=jnp.float64,
                 )
 
+            profiler.tick(chunk_id)
+            chunk_moves = int(np.sum(budgets[alive])) * moves_per_step
+            t_chunk = time.time()
             key, chunk_key = jax.random.split(key)
             state = runner.run_chunk(
                 state, chunk_key, jnp.asarray(alive), extras, steps,
                 steps_left=jnp.asarray(budgets),
             )
+            if metrics is not None:
+                jax.block_until_ready(state)
+            chunk_ms = (time.time() - t_chunk) * 1e3
 
             # --- host sync: termination, logging, observers ----------------
             top_scores = np.asarray(state["islands"]["top_score"])
@@ -203,12 +227,27 @@ class Solver:
                     for obs in observers:
                         obs.update(solution_json)
 
+            if metrics is not None:
+                metrics.add({
+                    "chunk": chunk_id,
+                    "steps": steps,
+                    "wall_ms": round(chunk_ms, 3),
+                    "moves": chunk_moves,
+                    "moves_per_s": round(chunk_moves / (chunk_ms / 1e3), 1)
+                    if chunk_ms > 0 else 0.0,
+                    "global_best": g_score.tolist(),
+                    "improved": bool(improved),
+                    "n_alive": int(np.sum(alive)),
+                    "migrations": int(np.sum(alive)),
+                }, observers=observers)
+
             _log(logging_level, chunk_id, steps, new_global, improved,
                  solving_start, int(np.sum(alive)))
             chunk_id += 1
             _save(final=not alive.any())
             if not alive.any():
                 break
+        profiler.close()
 
         if solution_json is None:
             solution_json = _convert_to_json(
