@@ -64,17 +64,38 @@ class TabuSearch:
                 base_row = state["population"][0]
                 deltas, info = moves.move_population_delta(
                     k_move, base_row, n, vm, cfg, state["tabu"])
-                scores = delta_score_fn(state["ctx"], deltas)
-                best = lexico.lex_argmin(scores)
-                accept = lexico.lex_leq(scores[best], state["scores"][0])
-                winner = jax.tree.map(lambda x: x[best], deltas)
-                winner = {**winner, "valid": winner["valid"] & accept}
-                new_row = moves.apply_delta(base_row, winner)
+                # int-delta fast path (trace-time static): rank/accept on
+                # i32 delta rows, materialize the f64 score only from the
+                # updated ctx's exact sums. Requires unrounded scores —
+                # with score_precision the comparison must see rounded f64.
+                ints = None
+                if score_precision is None:
+                    ints = requester.request_score_delta_ints(state["ctx"],
+                                                              deltas)
                 state = dict(state)
-                state["population"] = new_row[None, :]
-                state["scores"] = jnp.where(accept, scores[best][None, :],
-                                            state["scores"])
-                state["ctx"] = requester.update_ctx(state["ctx"], winner)
+                if ints is not None:
+                    best = lexico.lex_argmin(ints)
+                    accept = lexico.lex_leq(
+                        ints[best], jnp.zeros((ints.shape[-1],), ints.dtype))
+                    winner = jax.tree.map(lambda x: x[best], deltas)
+                    winner = {**winner, "valid": winner["valid"] & accept}
+                    new_row = moves.apply_delta(base_row, winner)
+                    state["population"] = new_row[None, :]
+                    state["ctx"] = requester.update_ctx(state["ctx"], winner)
+                    # == old score when not accepted (ctx update is identity)
+                    state["scores"] = requester.ctx_score_row(
+                        state["ctx"])[None, :]
+                else:
+                    scores = delta_score_fn(state["ctx"], deltas)
+                    best = lexico.lex_argmin(scores)
+                    accept = lexico.lex_leq(scores[best], state["scores"][0])
+                    winner = jax.tree.map(lambda x: x[best], deltas)
+                    winner = {**winner, "valid": winner["valid"] & accept}
+                    new_row = moves.apply_delta(base_row, winner)
+                    state["population"] = new_row[None, :]
+                    state["scores"] = jnp.where(accept, scores[best][None, :],
+                                                state["scores"])
+                    state["ctx"] = requester.update_ctx(state["ctx"], winner)
                 if cfg.use_tabu:
                     state["tabu"] = moves.update_tabu_from_info(
                         state["tabu"], info, best)

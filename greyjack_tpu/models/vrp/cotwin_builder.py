@@ -325,6 +325,24 @@ def build_delta_ctx(planning, facts, utils):
             "base_over": base_over,
             **bufs,
             "dist": dist, "late": late, "load": load, "len": length,
+            # packed lookup tables: XLA:TPU gathers cost ~0.1-0.5ms EACH at
+            # neighbourhood batch sizes (scripts/bench_gather.py), so the
+            # per-stop and per-vehicle scalars the delta scorer needs are
+            # packed into one row-gather apiece instead of 3-8 separate ones
+            "row_pack": jnp.stack(
+                [v, c, pos, utils["cust_packed"][c, 0]], axis=-1),
+            "veh_pack": jnp.stack([
+                utils["work_day_start_k"].astype(jnp.int32),
+                utils["work_day_end_k"].astype(jnp.int32),
+                length.astype(jnp.int32),
+                dist.astype(jnp.int32) if dist.dtype == jnp.int32 else
+                jnp.clip(dist, -(2**31) + 1, 2**31 - 1).astype(jnp.int32),
+                late.astype(jnp.int32) if late.dtype == jnp.int32 else
+                jnp.clip(late, -(2**31) + 1, 2**31 - 1).astype(jnp.int32),
+                load,
+                utils["capacities"],
+                utils["vehicle_depot_ids"].astype(jnp.int32),
+            ], axis=-1),
             "sum_dist": jnp.sum(dist), "sum_late": jnp.sum(late),
             "sum_overflow": jnp.sum(overflow)}
 
@@ -450,8 +468,9 @@ def _delta_common(ctx, delta, utils):
     n = ctx["v"].shape[0]
     kd = delta["positions"].shape[0]
 
-    rows = schema["var_row"][delta["positions"]]
-    cols = schema["var_col"][delta["positions"]]
+    rc2 = schema["var_rowcol"][delta["positions"]]   # one packed gather
+    rows = rc2[..., 0]
+    cols = rc2[..., 1]
     valid = delta["valid"]
     nv = jnp.round(delta["values"]).astype(jnp.int32)
     is_veh = cols == 0
@@ -462,8 +481,11 @@ def _delta_common(ctx, delta, utils):
     rep = valid & ~jnp.any(eqr & (idx[None, :] < idx[:, None]), axis=1)
     veh_match = eqr & is_veh[None, :] & valid[None, :]
     cust_match = eqr & (~is_veh)[None, :] & valid[None, :]
-    old_v = ctx["v"][rows]
-    old_c = ctx["c"][rows]
+    rp_row = ctx["row_pack"][rows]                   # one packed gather
+    old_v = rp_row[..., 0]
+    old_c = rp_row[..., 1]
+    slot_of_row = rp_row[..., 2]
+    dem_old = rp_row[..., 3]
     new_v = jnp.where(jnp.any(veh_match, axis=1),
                       nv[jnp.argmax(veh_match, axis=1)], old_v)
     new_c = jnp.where(jnp.any(cust_match, axis=1),
@@ -486,9 +508,9 @@ def _delta_common(ctx, delta, utils):
                           axis=1).astype(jnp.int32)
     a_of_new = jnp.argmax((av[None, :] == new_v[:, None]) & arep[None, :],
                           axis=1).astype(jnp.int32)
-    slot_of_row = ctx["pos"][rows]
     return {"rows": rows, "rep": rep, "valid": valid, "old_v": old_v,
             "old_c": old_c, "new_v": new_v, "new_c": new_c,
+            "dem_old": dem_old,
             "veh_changed": veh_changed, "stay": stay, "av": av,
             "arep": arep, "av_safe": av_safe, "a_of_row": a_of_row,
             "a_of_new": a_of_new, "slot_of_row": slot_of_row,
@@ -729,6 +751,19 @@ def score_delta(ctx, delta, utils):
                      lexico.stub_score_row(3), row)
 
 
+def ctx_score_row(ctx, utils):
+    """f64[3] score of the ctx's own base candidate, from its exact integer
+    sums — used by the int-delta local-search loop to materialize the score
+    only for the accepted winner (bit-equal to `score_delta` of a no-op
+    delta; f64 stays off the per-neighbour hot path)."""
+    hard = (1000.0 * ctx["dups"].astype(jnp.float64)
+            + ctx["sum_overflow"].astype(jnp.float64))
+    medium = ctx["sum_late"].astype(jnp.float64)
+    soft = ctx["sum_dist"].astype(jnp.float64) / 1000.0
+    row = jnp.stack([hard, medium, soft])
+    return jnp.where(ctx["base_over"], lexico.stub_score_row(3), row)
+
+
 def update_ctx(ctx, delta, utils):
     """Apply one ACCEPTED delta to the ctx (identity for all-invalid
     deltas; over-cap deltas are never accepted — their score is the stub)."""
@@ -768,6 +803,28 @@ def update_ctx(ctx, delta, utils):
     out["sum_dist"] = ctx["sum_dist"] + p["d_dist"]
     out["sum_late"] = ctx["sum_late"] + p["d_late"]
     out["sum_overflow"] = ctx["sum_overflow"] + p["d_over"]
+
+    # maintain the packed lookup tables (see build_delta_ctx): per-stop rows
+    # first get the route-wide slot rewrite, then the changed rows' values
+    dem_new = utils["cust_packed"][p["new_c"], 0]
+    row_pack = ctx["row_pack"].at[pos_tgt, 2].set(slot_idx, mode="drop")
+    rp_vals = jnp.stack(
+        [p["new_v"], p["new_c"],
+         out["pos"][jnp.minimum(rowsel, n - 1)], dem_new], axis=-1)
+    out["row_pack"] = row_pack.at[rowsel].set(rp_vals, mode="drop")
+
+    def _pack32(x):
+        if x.dtype == jnp.int32:
+            return x
+        return jnp.clip(x, -(2**31) + 1, 2**31 - 1).astype(jnp.int32)
+
+    vp_rows = ctx["veh_pack"][jnp.minimum(vehsel, k - 1)]
+    vp_rows = (vp_rows
+               .at[:, 2].set(p["len"].astype(jnp.int32))
+               .at[:, 3].set(_pack32(p["dist"]))
+               .at[:, 4].set(_pack32(p["late"]))
+               .at[:, 5].set(p["load"].astype(jnp.int32)))
+    out["veh_pack"] = ctx["veh_pack"].at[vehsel].set(vp_rows, mode="drop")
     return out
 
 
@@ -998,8 +1055,10 @@ class CotwinBuilder(CotwinBuilderBase):
             calculator.remove_constraint("late_arrival_penalty")
         if self.use_incremental_score_calculation and not self.exact_fp_scores:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
-                                         update_ctx)
+                                         update_ctx, ctx_score=ctx_score_row)
             from greyjack_tpu.models.vrp import delta_pallas
-            calculator.set_delta_batch_kernel(delta_pallas.score_delta_batch)
+            calculator.set_delta_batch_kernel(
+                delta_pallas.score_delta_batch,
+                delta_pallas.score_delta_batch_ints)
         cotwin.add_score_calculator(calculator)
         return cotwin

@@ -305,6 +305,22 @@ def score_delta_batch(ctx, deltas, utils):
     return _post(outs, aux, ctx, utils)
 
 
+def score_delta_batch_ints(ctx, deltas, utils):
+    """Integer-delta variant for the local-search hot loop: i32[P, 3] rows
+    (1000*d_dups + d_overflow, d_late, d_dist_milli), lexicographically
+    order-equivalent to the f64 score rows (each f64 component is
+    base + delta under a monotonic map, and base sums are exact in f64).
+    Stub (over-cap / poisoned-base) neighbours become INT32_MAX rows, which
+    can never win an accept-if-<=-zero comparison. Keeps f64 out of the
+    per-step argmin/accept entirely — f64 is software-emulated on v5e.
+    None if the fused kernel is ineligible."""
+    if not eligible(utils, deltas):
+        return None
+    inputs, aux = _pre(ctx, deltas, utils)
+    outs = _call_kernel(inputs, utils, aux["kd"])
+    return _post(outs, aux, ctx, utils, as_ints=True)
+
+
 def _pre(ctx, deltas, utils):
     """XLA stage 1: per-neighbour scalar analysis (`_delta_common`) and the
     packed per-(neighbour, route) kernel input columns."""
@@ -316,8 +332,7 @@ def _pre(ctx, deltas, utils):
     n = ctx["v"].shape[0]
     tw = bool(utils["time_windowed"])
 
-    from greyjack_tpu.models.vrp.cotwin_builder import (
-        _delta_common, _payload_from_customers)
+    from greyjack_tpu.models.vrp.cotwin_builder import _delta_common
 
     c = jax.vmap(lambda d: _delta_common(ctx, moves.dedupe_delta(d), utils))(
         deltas)
@@ -351,6 +366,10 @@ def _pre(ctx, deltas, utils):
                                        < ins_key[:, :, None]),
                            axis=2, dtype=jnp.int32)
 
+    # ONE packed per-vehicle gather (wds, wde, len, dist, late, load, cap,
+    # depot) replaces 8 separate table gathers across pre+post
+    vp = ctx["veh_pack"][av_safe]                          # [P, A, 8] i32
+
     # per-(neighbour, route) lengths (XLA: O(KD*A))
     ai = jnp.arange(a2, dtype=jnp.int32)
     n_clr = jnp.sum(veh_changed[:, None, :]
@@ -359,7 +378,7 @@ def _pre(ctx, deltas, utils):
     n_ins = jnp.sum(veh_changed[:, None, :]
                     & (a_of_new[:, None, :] == ai[None, :, None]),
                     axis=2, dtype=jnp.int32)
-    length = ctx["len"][av_safe] - n_clr + n_ins           # [P, A]
+    length = vp[..., 2] - n_clr + n_ins                    # [P, A]
     over_cap = jnp.any(arep & (length > r), axis=1)
 
     # --- kernel inputs: per-(neighbour, route) scalar columns [P, A] ---------
@@ -378,8 +397,8 @@ def _pre(ctx, deltas, utils):
     irank = [jnp.broadcast_to(ins_rank_ins[:, k, None], (p, a2))
              for k in range(kd)]
     if tw:
-        w0row = utils["work_day_start_k"][av_safe].astype(jnp.int32)
-        w1row = utils["work_day_end_k"][av_safe].astype(jnp.int32)
+        w0row = vp[..., 0]
+        w1row = vp[..., 1]
     else:
         w0row = jnp.zeros((p, a2), jnp.int32)
         w1row = jnp.zeros((p, a2), jnp.int32)
@@ -393,7 +412,11 @@ def _pre(ctx, deltas, utils):
     ins_cols += [zero_pa] * (8 - len(ins_cols))
     ins_pack = jnp.stack(ins_cols, axis=-1).reshape(p * a2, 8)
 
-    cid, ct_p, fl_p, ce_p = _payload_from_customers(new_c, utils)  # [P, KD]
+    crows = utils["cust_packed"][new_c]                    # [P, KD, 4]
+    cid, ct_p = new_c, crows[..., 3]
+    fl_p = crows[..., 1] + crows[..., 3]
+    ce_p = crows[..., 2]
+    dem_new = crows[..., 0]
     pay_cols = []
     for k in range(kd):
         pay_cols += [cid[:, k], ct_p[:, k], fl_p[:, k], ce_p[:, k]]
@@ -424,7 +447,7 @@ def _pre(ctx, deltas, utils):
 
     inputs = (ctx_mat, av_col, sc_pack, ins_pack, pay_pack, el_pack)
     aux = {"kd": kd, "c": c, "locus": locus, "length": length,
-           "over_cap": over_cap}
+           "over_cap": over_cap, "vp": vp, "dem_new": dem_new}
     return inputs, aux
 
 
@@ -462,15 +485,17 @@ def _call_kernel(inputs, utils, kd):
     )(ctx_mat, av_col, sc_pack, ins_pack, pay_pack, el_pack)
 
 
-def _post(outs, aux, ctx, utils):
+def _post(outs, aux, ctx, utils, as_ints=False):
     """Stage 3: e-slot reassembly, the one consolidated distance-matrix
-    gather, loads, and lexicographic score assembly."""
+    gather, loads, and lexicographic score assembly (f64 rows, or i32
+    delta rows when `as_ints` — see score_delta_batch_ints)."""
     misc, u_pk, v_pk, c_pk = outs
     kd = aux["kd"]
     c = aux["c"]
     locus = aux["locus"]
     length = aux["length"]
     over_cap = aux["over_cap"]
+    vp = aux["vp"]
     a2 = 2 * kd
     p = length.shape[0]
     r = utils["route_cap"]
@@ -533,7 +558,7 @@ def _post(outs, aux, ctx, utils):
 
     # --- the ONE consolidated dm gather + finishing sums ---------------------
     has = length > 0
-    depots = utils["vehicle_depot_ids"][av_safe].astype(jnp.int32)
+    depots = vp[..., 7]
     gidx = jnp.concatenate([
         jnp.where(ev, u * l + v_right, 0),
         jnp.where(has, depots * l + first_c, 0),
@@ -551,9 +576,10 @@ def _post(outs, aux, ctx, utils):
     chain = chain_raw + corr_by_route
     dist = jnp.where(has, start_leg + end_leg + chain, 0)
 
-    # loads (XLA arithmetic, as in the grid path)
-    dem_old = utils["cust_packed"][old_c, 0]
-    dem_new = utils["cust_packed"][new_c, 0]
+    # loads (XLA arithmetic, as in the grid path); demands ride the packed
+    # row/customer gathers done in _pre — no cust_packed gathers here
+    dem_old = c["dem_old"]
+    dem_new = aux["dem_new"]
     is_old = old_v[:, None, :] == av[:, :, None]             # [P, A, KD]
     is_new = new_v[:, None, :] == av[:, :, None]
     contrib = (
@@ -561,18 +587,35 @@ def _post(outs, aux, ctx, utils):
         + jnp.where(veh_changed[:, None, :] & is_new, dem_new[:, None, :], 0)
         + jnp.where(rep[:, None, :] & ~veh_changed[:, None, :] & is_old,
                     (dem_new - dem_old)[:, None, :], 0))
-    load = ctx["load"][av_safe] + jnp.sum(contrib, axis=2).astype(jnp.int32)
+    load = vp[..., 5] + jnp.sum(contrib, axis=2).astype(jnp.int32)
 
-    cap_a = utils["capacities"][av_safe]
+    cap_a = vp[..., 6]
     m = arep
-    d_dist = jnp.sum(jnp.where(m, dist - ctx["dist"][av_safe], 0), axis=1,
+    bad = over_cap | ctx["base_over"]
+    if as_ints:
+        # all-i32 delta rows (acc_dtype==i32 is an eligibility requirement,
+        # so every term is i32-bounded by construction)
+        d_dist = jnp.sum(jnp.where(m, dist - vp[..., 3], 0), axis=1,
+                         dtype=jnp.int32)
+        d_late = jnp.sum(jnp.where(m, late - vp[..., 4], 0), axis=1,
+                         dtype=jnp.int32)
+        d_over = jnp.sum(jnp.where(
+            m,
+            jnp.maximum(load - cap_a, 0) - jnp.maximum(vp[..., 5] - cap_a, 0),
+            0), axis=1, dtype=jnp.int32)
+        d_hard = 1000 * (c["new_dups"] - ctx["dups"]) + d_over
+        out = jnp.stack([d_hard, d_late, d_dist], axis=1)
+        stub_i = jnp.iinfo(jnp.int32).max
+        return jnp.where(bad[:, None], stub_i, out)
+
+    d_dist = jnp.sum(jnp.where(m, dist - vp[..., 3], 0), axis=1,
                      dtype=jnp.int64)
-    d_late = jnp.sum(jnp.where(m, late - ctx["late"][av_safe], 0), axis=1,
+    d_late = jnp.sum(jnp.where(m, late - vp[..., 4], 0), axis=1,
                      dtype=jnp.int64)
     d_over = jnp.sum(jnp.where(
         m,
         jnp.maximum(load - cap_a, 0).astype(jnp.int64)
-        - jnp.maximum(ctx["load"][av_safe] - cap_a, 0).astype(jnp.int64),
+        - jnp.maximum(vp[..., 5] - cap_a, 0).astype(jnp.int64),
         0), axis=1)
 
     hard = (1000.0 * c["new_dups"].astype(jnp.float64)
@@ -581,5 +624,4 @@ def _post(outs, aux, ctx, utils):
     soft = (ctx["sum_dist"] + d_dist).astype(jnp.float64) / 1000.0
     out = jnp.stack([hard, medium, soft], axis=1)
     stub = lexico.stub_score_row(3)
-    bad = over_cap | ctx["base_over"]
     return jnp.where(bad[:, None], stub[None, :], out)

@@ -37,7 +37,9 @@ def lex_min2(a, b):
 
 
 def lex_argmin(scores):
-    """Index of the lexicographically smallest row. scores: f64[N, S] -> i32.
+    """Index of the lexicographically smallest row. scores: [N, S] -> i32
+    (float or integer score rows — integer rows are the TS delta fast path,
+    where f64 reductions would be software-emulated on v5e).
 
     Ties resolve to the lowest index (matches `Iterator::min_by` in the
     reference, `tabu_search_base.rs:166-171`). S masked min-reductions plus
@@ -45,10 +47,12 @@ def lex_argmin(scores):
     sort (the previous formulation) is ~10x the work for one index.
     """
     n, s = scores.shape
+    big = (jnp.iinfo(scores.dtype).max
+           if jnp.issubdtype(scores.dtype, jnp.integer) else jnp.inf)
     eligible = jnp.ones((n,), bool)
     for i in range(s):
         col = scores[:, i]
-        m = jnp.min(jnp.where(eligible, col, jnp.inf))
+        m = jnp.min(jnp.where(eligible, col, big))
         eligible = eligible & (col == m)
     return jnp.argmax(eligible).astype(jnp.int32)
 

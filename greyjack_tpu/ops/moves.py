@@ -405,9 +405,10 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
     noop45 = (length <= 1) | (r == 0)
 
     # --- per-branch new values over cand_at -----------------------------------
-    lo_b = vm.lower_bounds[positions].astype(candidate.dtype)
-    hi_b = vm.upper_bounds[positions].astype(candidate.dtype)
-    disc = vm.discrete_mask[positions]
+    bp = vm.bounds_pack[positions]      # one packed gather: (lb, ub, disc)
+    lo_b = bp[..., 0].astype(candidate.dtype)
+    hi_b = bp[..., 1].astype(candidate.dtype)
+    disc = bp[..., 2] > 0.5
 
     branch_vals = []  # (move_idx, values[kd], valid[kd])
     if 0 in enabled:  # change: resample U[lb, ub)

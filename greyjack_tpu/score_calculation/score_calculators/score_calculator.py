@@ -118,24 +118,37 @@ class IncrementalScoreCalculator(PlainScoreCalculator):
         self.delta_ctx_fn = None
         self.delta_score_fn = None
         self.delta_update_fn = None
+        self.delta_ctx_score_fn = None
+        self.delta_score_batch_ints_fn = None
 
-    def set_delta_kernels(self, build_ctx, score_delta, update_ctx):
+    def set_delta_kernels(self, build_ctx, score_delta, update_ctx,
+                          ctx_score=None):
         """Register the delta kernel triple. `update_ctx(ctx, delta, utils)`
         applies one ACCEPTED delta to the ctx in O(K) (identity when the
         delta has no valid entries) — local-search steps never re-run the
         O(N) base pass; the ctx lives in agent state and is only rebuilt
-        when migration swaps the base candidate."""
+        when migration swaps the base candidate.
+        `ctx_score(ctx, utils) -> f64[S]` (optional): the ctx's own base
+        score from its exact integer sums — required for the int-delta
+        local-search fast path (see set_delta_batch_kernel)."""
         self.delta_ctx_fn = build_ctx
         self.delta_score_fn = score_delta
         self.delta_update_fn = update_ctx
+        self.delta_ctx_score_fn = ctx_score
 
-    def set_delta_batch_kernel(self, score_delta_batch):
+    def set_delta_batch_kernel(self, score_delta_batch,
+                               score_delta_batch_ints=None):
         """Optionally register a whole-neighbourhood scorer
         `(ctx, deltas[P, K], utils) -> f64[P, S] | None` (e.g. a fused
         Pallas kernel). Returning None means "statically ineligible for
         this shape/instance" — the requester falls back to vmapping the
-        per-delta kernel."""
+        per-delta kernel.
+        `score_delta_batch_ints` (optional): same shape contract but
+        returning i32[P, S] DELTA rows lexicographically order-equivalent
+        to the f64 rows (candidate accepted iff <= 0) — lets local search
+        keep f64 (software-emulated on v5e) off the per-step hot path."""
         self.delta_score_batch_fn = score_delta_batch
+        self.delta_score_batch_ints_fn = score_delta_batch_ints
 
     @property
     def has_delta_kernels(self):

@@ -128,6 +128,11 @@ class ScoreRequester:
                 var_col[ids] = ci
         self.var_row = jnp.asarray(var_row)
         self.var_col = jnp.asarray(var_col)
+        # packed [V, 2] (row, col): one gather instead of two on the delta
+        # hot path (XLA:TPU gathers have ~0.1ms+ fixed cost each,
+        # scripts/bench_gather.py)
+        self.var_rowcol = jnp.asarray(
+            np.stack([var_row, var_col], axis=-1))
 
     # --- delta (incremental) path --------------------------------------------
     @property
@@ -139,7 +144,8 @@ class ScoreRequester:
         calc = self.cotwin.score_calculator
         utils = dict(calc.utility_objects)
         utils["delta_schema"] = {"var_row": self.var_row,
-                                 "var_col": self.var_col}
+                                 "var_col": self.var_col,
+                                 "var_rowcol": self.var_rowcol}
         return utils
 
     def build_base_ctx(self, base_row):
@@ -168,6 +174,22 @@ class ScoreRequester:
             return calc.delta_score_fn(ctx, delta, utils)
 
         return jax.vmap(one)(deltas)
+
+    def request_score_delta_ints(self, ctx, deltas):
+        """Integer delta rows i32[n, S] for the local-search accept loop
+        (see `set_delta_batch_kernel`), or None when the model/kernel does
+        not support them for this shape — a TRACE-TIME static, so callers
+        branch in Python."""
+        calc = self.cotwin.score_calculator
+        ints_fn = getattr(calc, "delta_score_batch_ints_fn", None)
+        if ints_fn is None or getattr(calc, "delta_ctx_score_fn", None) is None:
+            return None
+        return ints_fn(ctx, deltas, self._delta_utils())
+
+    def ctx_score_row(self, ctx):
+        """f64[S] score of the ctx's base candidate from its exact sums."""
+        calc = self.cotwin.score_calculator
+        return calc.delta_ctx_score_fn(ctx, self._delta_utils())
 
     def update_ctx(self, ctx, delta):
         """Apply one accepted delta to the ctx (O(K); identity when the

@@ -46,6 +46,12 @@ class VariablesManager:
         self.lower_bounds = jnp.asarray(lower, dtype=config.FLOAT_DTYPE)
         self.upper_bounds = jnp.asarray(upper, dtype=config.FLOAT_DTYPE)
         self.discrete_mask = jnp.asarray(discrete)
+        # packed (lower, upper, discrete) [V, 3]: ONE per-position gather on
+        # the move-sampler hot path instead of three (XLA:TPU gathers carry
+        # ~0.1ms+ fixed cost each, scripts/bench_gather.py)
+        self.bounds_pack = jnp.stack(
+            [self.lower_bounds, self.upper_bounds,
+             self.discrete_mask.astype(config.FLOAT_DTYPE)], axis=-1)
         self.frozen_mask = jnp.asarray(frozen)
         self.has_initial_mask = jnp.asarray(has_initial)
         self.initial_values = jnp.asarray(initial, dtype=config.FLOAT_DTYPE)

@@ -1,0 +1,129 @@
+"""Island-axis scaling efficiency on the flagship VRP chunk (BASELINE row 2;
+round-2 verdict item 6 — beyond-toy multi-process measurement).
+
+Three configs at FIXED resources per island-shard (1 CPU core per device,
+enforced with taskset, since this host has 2 cores):
+
+  base   — 1 process, 1 device, I islands          (pinned to core 0)
+  ici2   — 1 process, 2 virtual devices, 2I islands (shard_map + ppermute)
+  dcn2   — 2 processes x 1 device, 2I islands       (jax.distributed ring)
+
+efficiency_X = moves_per_s(X) / (2 * moves_per_s(base)).
+
+Writes SCALING_r{N}.json. Run: python scripts/measure_scaling.py --out SCALING_r03.json
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "scripts", "_scaling_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(devices):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices}",
+        "PYTHONPATH": REPO,
+    })
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    return env
+
+
+def _parse(out):
+    for line in out.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"no SCALING_RESULT in output:\n{out}")
+
+
+def run_single(islands, devices, cores, mesh, seconds, neighbours):
+    cmd = ["taskset", "-c", cores, sys.executable, WORKER,
+           "--islands", str(islands), "--seconds", str(seconds),
+           "--neighbours", str(neighbours)]
+    if mesh:
+        cmd.append("--mesh")
+    out = subprocess.run(cmd, env=_env(devices), capture_output=True,
+                         text=True, timeout=1200)
+    assert out.returncode == 0, out.stdout + out.stderr
+    return _parse(out.stdout)
+
+
+def run_two_proc(islands, seconds, neighbours):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    procs = []
+    for pid in range(2):
+        cmd = ["taskset", "-c", str(pid), sys.executable, WORKER,
+               "--islands", str(islands), "--seconds", str(seconds),
+               "--neighbours", str(neighbours),
+               "--coordinator", coordinator, "--num-processes", "2",
+               "--process-id", str(pid)]
+        procs.append(subprocess.Popen(cmd, env=_env(1),
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    return _parse(outs[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--islands-per-device", type=int, default=2)
+    ap.add_argument("--neighbours", type=int, default=256)
+    ap.add_argument("--seconds", type=float, default=20.0)
+    args = ap.parse_args()
+    ipd = args.islands_per_device
+
+    t0 = time.time()
+    base = run_single(ipd, 1, "0", False, args.seconds, args.neighbours)
+    print("base:", base, flush=True)
+    ici = run_single(2 * ipd, 2, "0,1", True, args.seconds, args.neighbours)
+    print("ici2:", ici, flush=True)
+    dcn = run_two_proc(2 * ipd, args.seconds, args.neighbours)
+    print("dcn2:", dcn, flush=True)
+
+    rec = {
+        "workload": ("flagship VRP delta chunk, synthetic-tw-d4-n200-k10, "
+                     "TabuSearch change+swap"),
+        "per_island_resources": "1 CPU core per device shard (taskset)",
+        "base_1dev": base,
+        "ici_2dev_shardmap": ici,
+        "dcn_2proc_distributed": dcn,
+        "efficiency_ici_2dev": round(
+            ici["moves_per_s"] / (2 * base["moves_per_s"]), 3),
+        "efficiency_dcn_2proc": round(
+            dcn["moves_per_s"] / (2 * base["moves_per_s"]), 3),
+        "wall_s": round(time.time() - t0, 1),
+        "note": ("CPU stand-in for the 4-host TPU measurement (one real "
+                 "chip available); shard_map/ppermute code path is "
+                 "identical on TPU ICI"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+        f.write("\n")
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

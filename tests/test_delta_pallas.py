@@ -95,6 +95,43 @@ def test_parity_after_updates():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_int_rows_order_equivalent():
+    """i32 delta rows must induce EXACTLY the f64 rows' lexicographic order
+    and the same accept decision (<= base score <=> <= 0) — the TS int fast
+    path replaces f64 argmin/accept with them."""
+    req = _setup(True)
+    vm = req.variables_manager
+    cfg = moves.MoverConfig(vm, 0.2, None, [0.5, 0.5, 0, 0, 0, 0])
+    key = jax.random.key(41)
+    base = vm.sample_variables(key, 1)[0]
+    ctx = req.build_base_ctx(base)
+    deltas, _ = moves.move_population_delta(
+        jax.random.fold_in(key, 1), base, 128, vm, cfg,
+        cfg.init_tabu_state())
+    utils = req._delta_utils()
+    f64 = delta_pallas.score_delta_batch(ctx, deltas, utils)
+    ints = delta_pallas.score_delta_batch_ints(ctx, deltas, utils)
+    assert ints is not None and ints.dtype == jnp.int32
+
+    from greyjack_tpu.ops import lexico
+    lt_f = np.asarray(lexico.lex_less(f64[:, None, :], f64[None, :, :]))
+    lt_i = np.asarray(lexico.lex_less(ints[:, None, :], ints[None, :, :]))
+    np.testing.assert_array_equal(lt_f, lt_i)
+    assert int(lexico.lex_argmin(f64)) == int(lexico.lex_argmin(ints))
+
+    base_score = req.ctx_score_row(ctx)
+    acc_f = np.asarray(lexico.lex_leq(f64, base_score[None, :]))
+    acc_i = np.asarray(lexico.lex_leq(
+        ints, jnp.zeros((1, ints.shape[-1]), ints.dtype)))
+    np.testing.assert_array_equal(acc_f, acc_i)
+    # base candidate's own score materializes exactly from ctx sums
+    calc = req.cotwin.score_calculator
+    noop = {"positions": jnp.zeros((2,), jnp.int32),
+            "values": jnp.zeros((2,)), "valid": jnp.zeros((2,), bool)}
+    want = calc.delta_score_fn(ctx, noop, utils)
+    np.testing.assert_array_equal(np.asarray(base_score), np.asarray(want))
+
+
 def test_ineligible_falls_back():
     req = _setup(True)
     vm = req.variables_manager
