@@ -20,6 +20,8 @@ it is vmapped over the population by the score requester.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -766,8 +768,17 @@ def ctx_score_row(ctx, utils):
 
 def update_ctx(ctx, delta, utils):
     """Apply one ACCEPTED delta to the ctx (identity for all-invalid
-    deltas; over-cap deltas are never accepted — their score is the stub)."""
-    p = _delta_parts(ctx, delta, utils)
+    deltas; over-cap deltas are never accepted — their score is the stub).
+
+    The single winner goes through the variadic-sort merge rather than the
+    shift-merge: at batch size 1 the shift-merge's ~80 masked-grid ops cost
+    more in op overhead than one [A, R+KD] sort (`GJ_UPDATE_SHIFTMERGE=1`
+    restores the old path for A/B)."""
+    if (delta["positions"].shape[0] <= _SMALL_DELTA_MAX
+            and os.environ.get("GJ_UPDATE_SHIFTMERGE")):
+        p = _delta_parts_small(ctx, delta, utils)
+    else:
+        p = _delta_parts_sorted(ctx, delta, utils)
     k = utils["k_vehicles"]
     l = utils["n_locations"]
     r = utils["route_cap"]

@@ -473,6 +473,76 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
     return delta, info
 
 
+def _move_population_delta_narrow(key, base, n, vm, cfg, masks):
+    """Flat-batch sampler for the hot narrow configs (change/swap only,
+    zero mutation-rate multiplier, 2-wide deltas): the whole neighbourhood
+    draws from ~4 batched PRNG calls and 5 gathers, replacing per-neighbour
+    key splitting (~10 threefry call sites) and the generic multi-branch
+    machinery of `do_move_delta`. Move SEMANTICS are identical (same
+    uniform choice of move/group/pair/values, same tabu bounded-rejection);
+    the PRNG stream differs — fine, the reference draws OS entropy anyway
+    (`mover.rs:104`, SURVEY §5)."""
+    kd = cfg.delta_width
+    att = 4
+    ku, kg = jax.random.split(key)
+    u = jax.random.uniform(ku, (n, 1 + 2 * att + kd), dtype=jnp.float64)
+    g = jax.random.randint(kg, (n,), 0, max(1, cfg.n_groups))
+    length = vm.group_sizes[g].astype(jnp.int32)
+
+    if len(cfg.enabled) == 1:
+        move_type = jnp.full((n,), cfg.enabled[0], jnp.int32)
+    else:
+        move_type = jnp.sum(cfg.thresholds[None, :] < u[:, :1],
+                            axis=1).astype(jnp.int32)
+
+    fla = length.astype(jnp.float32)
+    ca = jnp.floor(u[:, 1:1 + att].astype(jnp.float32)
+                   * fla[:, None]).astype(jnp.int32)
+    flb = jnp.maximum(length - 1, 1).astype(jnp.float32)
+    cb = jnp.floor(u[:, 1 + att:1 + 2 * att].astype(jnp.float32)
+                   * flb[:, None]).astype(jnp.int32)
+    if masks is not None:
+        free_a = ~masks[g[:, None], ca]
+        pick = jnp.argmax(free_a, axis=1)
+        a = jnp.where(jnp.any(free_a, axis=1),
+                      jnp.take_along_axis(ca, pick[:, None], 1)[:, 0],
+                      ca[:, att - 1])
+        cb_shift = cb + (cb >= a[:, None]).astype(jnp.int32)
+        free_b = ~masks[g[:, None], cb_shift]
+        pickb = jnp.argmax(free_b, axis=1)
+        b1 = jnp.where(jnp.any(free_b, axis=1),
+                       jnp.take_along_axis(cb, pickb[:, None], 1)[:, 0],
+                       cb[:, att - 1])
+    else:
+        a = ca[:, 0]
+        b1 = cb[:, 0]
+    b = jnp.where(length > 1, b1 + (b1 >= a).astype(jnp.int32), a)
+    sel = jnp.stack([a, b], axis=1)                       # [n, 2]
+
+    positions = vm.group_members[g[:, None], sel]         # [n, 2] gather
+    cand_at = base[positions]                             # [n, 2] gather
+    bp = vm.bounds_pack[positions]                        # [n, 2, 3] gather
+    lo_b = bp[..., 0].astype(base.dtype)
+    hi_b = bp[..., 1].astype(base.dtype)
+    disc = bp[..., 2] > 0.5
+
+    vals_change = lo_b + u[:, 1 + 2 * att:].astype(base.dtype) \
+        * (hi_b - lo_b)
+    is_swap = (move_type == 1)[:, None]
+    values = jnp.where(is_swap, cand_at[:, ::-1], vals_change)
+    jj = jnp.arange(kd, dtype=jnp.int32)[None, :]
+    # rates_zero: change touches exactly 1 var, swap exactly 2
+    valid = jnp.where(is_swap, length[:, None] >= 2,
+                      (jj < 1) & (length[:, None] >= 1))
+    values = jnp.clip(values, lo_b, hi_b)
+    values = jnp.where(disc, jnp.round(values), values)
+
+    info = {"group": g, "positions": sel,
+            "count": jnp.where(move_type == 1, 2, 1).astype(jnp.int32)}
+    return ({"positions": positions, "values": values, "valid": valid},
+            info)
+
+
 def move_population_delta(key, base, n_neighbours, vm, cfg: MoverConfig,
                           tabu_state):
     """n_neighbours independent delta moves off one base candidate f[V].
@@ -481,8 +551,12 @@ def move_population_delta(key, base, n_neighbours, vm, cfg: MoverConfig,
     neighbour matrix is ever materialized. The tabu masks are built once
     and shared by the whole neighbourhood.
     """
-    keys = jax.random.split(key, n_neighbours)
     masks = cfg.tabu_masks(tabu_state)
+    if (cfg.rates_zero and set(cfg.enabled) <= {0, 1}
+            and cfg.delta_width == 2 and cfg.k_sel == 2):
+        return _move_population_delta_narrow(key, base, n_neighbours, vm,
+                                             cfg, masks)
+    keys = jax.random.split(key, n_neighbours)
 
     def one(k):
         return do_move_delta(k, base, vm, cfg, masks)

@@ -68,6 +68,7 @@ def main():
     n_islands = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     probas = [float(x) for x in os.environ.get(
         "GJ_PROF_MOVES", "0.5,0.5,0,0,0,0").split(",")]
+    tabu_rate = float(os.environ.get("GJ_PROF_TABU", "0.2"))
     P = n_islands * neigh
 
     print(f"backend={jax.default_backend()} n={n_customers} P={P} "
@@ -77,7 +78,7 @@ def main():
     cotwin = CotwinBuilder(True, False).build_cotwin(domain, False)
     req = ScoreRequester(cotwin)
     vm = req.variables_manager
-    cfg = moves.MoverConfig(vm, 0.2, None, probas)
+    cfg = moves.MoverConfig(vm, tabu_rate, None, probas)
     tabu = cfg.init_tabu_state()
     utils = req._delta_utils()
     n_vars = vm.variables_count
@@ -163,7 +164,7 @@ def main():
     results["apply"] = scan_time(run_apply, (base, jnp.zeros((), jnp.int32)))
 
     # --- full TS step (vmapped islands): carry = state ----------------------
-    agent = TabuSearch(neigh, 0.2, True, None, probas, 10, StepsLimit(10))
+    agent = TabuSearch(neigh, tabu_rate, True, None, probas, 10, StepsLimit(10))
     kernel = agent.build_kernel(req, None)
     init_keys = jax.random.split(key, n_islands)
     state0 = jax.block_until_ready(
