@@ -76,8 +76,9 @@ class TabuSearch:
                 if ints is not None:
                     best = lexico.lex_argmin(ints)
                     accept = lexico.lex_leq(
-                        ints[best], jnp.zeros((ints.shape[-1],), ints.dtype))
-                    winner = jax.tree.map(lambda x: x[best], deltas)
+                        moves.take_one(ints, best),
+                        jnp.zeros((ints.shape[-1],), ints.dtype))
+                    winner = moves.take_one(deltas, best)
                     winner = {**winner, "valid": winner["valid"] & accept}
                     new_row = moves.apply_delta(base_row, winner)
                     state["population"] = new_row[None, :]
@@ -88,12 +89,13 @@ class TabuSearch:
                 else:
                     scores = delta_score_fn(state["ctx"], deltas)
                     best = lexico.lex_argmin(scores)
-                    accept = lexico.lex_leq(scores[best], state["scores"][0])
-                    winner = jax.tree.map(lambda x: x[best], deltas)
+                    best_score = moves.take_one(scores, best)
+                    accept = lexico.lex_leq(best_score, state["scores"][0])
+                    winner = moves.take_one(deltas, best)
                     winner = {**winner, "valid": winner["valid"] & accept}
                     new_row = moves.apply_delta(base_row, winner)
                     state["population"] = new_row[None, :]
-                    state["scores"] = jnp.where(accept, scores[best][None, :],
+                    state["scores"] = jnp.where(accept, best_score[None, :],
                                                 state["scores"])
                     state["ctx"] = requester.update_ctx(state["ctx"], winner)
                 if cfg.use_tabu:

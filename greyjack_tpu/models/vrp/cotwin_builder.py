@@ -786,31 +786,70 @@ def update_ctx(ctx, delta, utils):
     rowsel = jnp.where(p["rep"], p["rows"], n)
     vehsel = jnp.where(p["arep"], p["av"], k)
     out = dict(ctx)
-    out["v"] = ctx["v"].at[rowsel].set(p["new_v"], mode="drop")
-    out["c"] = ctx["c"].at[rowsel].set(p["new_c"], mode="drop")
-    out["counts"] = (
-        ctx["counts"]
-        .at[jnp.where(p["rep"], p["old_c"], l)].add(-1, mode="drop")
-        .at[jnp.where(p["rep"], p["new_c"], l)].add(1, mode="drop"))
+
+    # Every table patch below is an iota-compare-select (masked reduction
+    # over the KD/A2 axis) instead of a scatter: the touched tables are tiny
+    # ([N], [K, R], [L]) so the compares are trivial vector work, while each
+    # XLA:TPU scatter op carries a large fixed cost — this function sits on
+    # the once-per-step accept path (DESIGN.md §5). Sentinel indices (n / k
+    # for dropped rows) simply never match.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    iota_k = jnp.arange(k, dtype=jnp.int32)
+    iota_l = jnp.arange(l, dtype=jnp.int32)
+
+    mrow = iota_n[:, None] == rowsel[None, :]              # [N, KD]
+    hit_row = jnp.any(mrow, axis=1)
+
+    def _rowval(vals, old):
+        v = jnp.sum(jnp.where(mrow, vals[None, :], 0), axis=1,
+                    dtype=old.dtype)
+        return jnp.where(hit_row, v, old)
+
+    out["v"] = _rowval(p["new_v"], ctx["v"])
+    out["c"] = _rowval(p["new_c"], ctx["c"])
+    mold = iota_l[:, None] == jnp.where(p["rep"], p["old_c"], l)[None, :]
+    mnew = iota_l[:, None] == jnp.where(p["rep"], p["new_c"], l)[None, :]
+    cdt = ctx["counts"].dtype
+    out["counts"] = (ctx["counts"]
+                     + jnp.sum(mnew.astype(cdt), axis=1, dtype=cdt)
+                     - jnp.sum(mold.astype(cdt), axis=1, dtype=cdt))
     out["dups"] = p["new_dups"]
+
+    mveh = iota_k[:, None] == vehsel[None, :]              # [K, A2]
+    hit_veh = jnp.any(mveh, axis=1)
     # zero payloads in sentinel slots so the updated ctx is leaf-identical
     # to a fresh `build_delta_ctx` of the patched candidate (tested invariant)
     new_stop_r = p["bufs"]["r_stop"][:, :r]
     valid_r = new_stop_r < n
-    out["r_stop"] = ctx["r_stop"].at[vehsel].set(new_stop_r, mode="drop")
+
+    def _vehrows(rows_a2, old):                            # [A2, R] -> [K, R]
+        v = jnp.sum(jnp.where(mveh[:, :, None], rows_a2[None, :, :], 0),
+                    axis=1, dtype=old.dtype)
+        return jnp.where(hit_veh[:, None], v, old)
+
+    out["r_stop"] = _vehrows(new_stop_r, ctx["r_stop"])
     for name in _ALL_BUF_KEYS[1:]:
-        out[name] = ctx[name].at[vehsel].set(
-            jnp.where(valid_r, p["bufs"][name][:, :r], 0), mode="drop")
+        out[name] = _vehrows(jnp.where(valid_r, p["bufs"][name][:, :r], 0),
+                             ctx[name])
     # slots shifted inside every affected route: rewrite pos for their stops
-    new_stop = p["bufs"]["r_stop"][:, :r]
     slot_idx = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :],
-                                new_stop.shape)
-    pos_tgt = jnp.where((new_stop < n) & p["arep"][:, None], new_stop, n)
-    out["pos"] = ctx["pos"].at[pos_tgt].set(slot_idx, mode="drop")
-    out["dist"] = ctx["dist"].at[vehsel].set(p["dist"], mode="drop")
-    out["late"] = ctx["late"].at[vehsel].set(p["late"], mode="drop")
-    out["load"] = ctx["load"].at[vehsel].set(p["load"], mode="drop")
-    out["len"] = ctx["len"].at[vehsel].set(p["len"], mode="drop")
+                                new_stop_r.shape)
+    mpos = iota_n[:, None, None] == jnp.where(
+        valid_r & p["arep"][:, None], new_stop_r, n)[None, :, :]  # [N, A2, R]
+    hit_pos = jnp.any(mpos, axis=(1, 2))
+    pos_val = jnp.sum(jnp.where(mpos, slot_idx[None], 0), axis=(1, 2),
+                      dtype=ctx["pos"].dtype)
+    out["pos"] = jnp.where(hit_pos, pos_val, ctx["pos"])
+
+    def _vehscal(val_a2, old):                             # [A2] -> [K]
+        v = jnp.sum(jnp.where(mveh, val_a2[None, :].astype(old.dtype), 0),
+                    axis=1, dtype=old.dtype)
+        return jnp.where(hit_veh, v, old)
+
+    out["dist"] = _vehscal(p["dist"], ctx["dist"])
+    out["late"] = _vehscal(p["late"], ctx["late"])
+    out["load"] = _vehscal(p["load"], ctx["load"])
+    out["len"] = _vehscal(p["len"], ctx["len"])
     out["sum_dist"] = ctx["sum_dist"] + p["d_dist"]
     out["sum_late"] = ctx["sum_late"] + p["d_late"]
     out["sum_overflow"] = ctx["sum_overflow"] + p["d_over"]
@@ -818,24 +857,34 @@ def update_ctx(ctx, delta, utils):
     # maintain the packed lookup tables (see build_delta_ctx): per-stop rows
     # first get the route-wide slot rewrite, then the changed rows' values
     dem_new = utils["cust_packed"][p["new_c"], 0]
-    row_pack = ctx["row_pack"].at[pos_tgt, 2].set(slot_idx, mode="drop")
-    rp_vals = jnp.stack(
-        [p["new_v"], p["new_c"],
-         out["pos"][jnp.minimum(rowsel, n - 1)], dem_new], axis=-1)
-    out["row_pack"] = row_pack.at[rowsel].set(rp_vals, mode="drop")
+    lane2 = jnp.where(hit_pos, pos_val, ctx["row_pack"][:, 2])
+    pos_rows = jnp.sum(jnp.where(mrow, out["pos"][:, None], 0), axis=0,
+                       dtype=jnp.int32)
+    rp_vals = jnp.stack([p["new_v"], p["new_c"], pos_rows, dem_new],
+                        axis=-1)                           # [KD, 4]
+    rp_new = jnp.sum(jnp.where(mrow[:, :, None], rp_vals[None], 0), axis=1,
+                     dtype=jnp.int32)
+    row_pack = jnp.concatenate(
+        [ctx["row_pack"][:, :2], lane2[:, None], ctx["row_pack"][:, 3:]],
+        axis=1)
+    out["row_pack"] = jnp.where(hit_row[:, None], rp_new, row_pack)
 
     def _pack32(x):
         if x.dtype == jnp.int32:
             return x
         return jnp.clip(x, -(2**31) + 1, 2**31 - 1).astype(jnp.int32)
 
-    vp_rows = ctx["veh_pack"][jnp.minimum(vehsel, k - 1)]
-    vp_rows = (vp_rows
-               .at[:, 2].set(p["len"].astype(jnp.int32))
-               .at[:, 3].set(_pack32(p["dist"]))
-               .at[:, 4].set(_pack32(p["late"]))
-               .at[:, 5].set(p["load"].astype(jnp.int32)))
-    out["veh_pack"] = ctx["veh_pack"].at[vehsel].set(vp_rows, mode="drop")
+    lane_vals = {2: p["len"].astype(jnp.int32), 3: _pack32(p["dist"]),
+                 4: _pack32(p["late"]), 5: p["load"].astype(jnp.int32)}
+    vp_cols = []
+    for j in range(ctx["veh_pack"].shape[1]):
+        if j in lane_vals:
+            nv = jnp.sum(jnp.where(mveh, lane_vals[j][None, :], 0), axis=1,
+                         dtype=jnp.int32)
+            vp_cols.append(jnp.where(hit_veh, nv, ctx["veh_pack"][:, j]))
+        else:
+            vp_cols.append(ctx["veh_pack"][:, j])
+    out["veh_pack"] = jnp.stack(vp_cols, axis=-1)
     return out
 
 

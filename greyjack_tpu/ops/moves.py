@@ -484,31 +484,38 @@ def _move_population_delta_narrow(key, base, n, vm, cfg, masks):
     (`mover.rs:104`, SURVEY §5)."""
     kd = cfg.delta_width
     att = 4
-    ku, kg = jax.random.split(key)
-    u = jax.random.uniform(ku, (n, 1 + 2 * att + kd), dtype=jnp.float64)
+    ku, kg, kv = jax.random.split(key, 3)
+    # f32 draws for move-type/slot attempts (software-emulated f64 PRNG off
+    # the hot path); only the replacement-value lerp draws in base dtype
+    u = jax.random.uniform(ku, (n, 1 + 2 * att), dtype=jnp.float32)
+    uv = jax.random.uniform(kv, (n, kd), dtype=base.dtype)
     g = jax.random.randint(kg, (n,), 0, max(1, cfg.n_groups))
     length = vm.group_sizes[g].astype(jnp.int32)
 
     if len(cfg.enabled) == 1:
         move_type = jnp.full((n,), cfg.enabled[0], jnp.int32)
     else:
-        move_type = jnp.sum(cfg.thresholds[None, :] < u[:, :1],
-                            axis=1).astype(jnp.int32)
+        move_type = jnp.sum(
+            cfg.thresholds.astype(jnp.float32)[None, :] < u[:, :1],
+            axis=1).astype(jnp.int32)
 
     fla = length.astype(jnp.float32)
-    ca = jnp.floor(u[:, 1:1 + att].astype(jnp.float32)
-                   * fla[:, None]).astype(jnp.int32)
+    ca = jnp.floor(u[:, 1:1 + att] * fla[:, None]).astype(jnp.int32)
     flb = jnp.maximum(length - 1, 1).astype(jnp.float32)
-    cb = jnp.floor(u[:, 1 + att:1 + 2 * att].astype(jnp.float32)
-                   * flb[:, None]).astype(jnp.int32)
+    cb = jnp.floor(u[:, 1 + att:1 + 2 * att] * flb[:, None]).astype(jnp.int32)
     if masks is not None:
-        free_a = ~masks[g[:, None], ca]
+        # ONE combined mask gather: candidate-a slots, candidate-b slots and
+        # their +1 shifts (the b-shift depends on a, so both variants are
+        # prefetched and selected arithmetically)
+        cbp1 = jnp.minimum(cb + 1, vm.max_group_size - 1)
+        free = ~masks[g[:, None], jnp.concatenate([ca, cb, cbp1], axis=1)]
+        free_a = free[:, :att]
         pick = jnp.argmax(free_a, axis=1)
         a = jnp.where(jnp.any(free_a, axis=1),
                       jnp.take_along_axis(ca, pick[:, None], 1)[:, 0],
                       ca[:, att - 1])
-        cb_shift = cb + (cb >= a[:, None]).astype(jnp.int32)
-        free_b = ~masks[g[:, None], cb_shift]
+        ge = cb >= a[:, None]
+        free_b = jnp.where(ge, free[:, 2 * att:], free[:, att:2 * att])
         pickb = jnp.argmax(free_b, axis=1)
         b1 = jnp.where(jnp.any(free_b, axis=1),
                        jnp.take_along_axis(cb, pickb[:, None], 1)[:, 0],
@@ -519,15 +526,15 @@ def _move_population_delta_narrow(key, base, n, vm, cfg, masks):
     b = jnp.where(length > 1, b1 + (b1 >= a).astype(jnp.int32), a)
     sel = jnp.stack([a, b], axis=1)                       # [n, 2]
 
-    positions = vm.group_members[g[:, None], sel]         # [n, 2] gather
+    # ONE packed (member, lo, hi, discrete) gather + the base-value gather
+    sp = vm.slot_pack[g[:, None], sel]                    # [n, 2, 4] gather
+    positions = sp[..., 0].astype(jnp.int32)
     cand_at = base[positions]                             # [n, 2] gather
-    bp = vm.bounds_pack[positions]                        # [n, 2, 3] gather
-    lo_b = bp[..., 0].astype(base.dtype)
-    hi_b = bp[..., 1].astype(base.dtype)
-    disc = bp[..., 2] > 0.5
+    lo_b = sp[..., 1].astype(base.dtype)
+    hi_b = sp[..., 2].astype(base.dtype)
+    disc = sp[..., 3] > 0.5
 
-    vals_change = lo_b + u[:, 1 + 2 * att:].astype(base.dtype) \
-        * (hi_b - lo_b)
+    vals_change = lo_b + uv.astype(base.dtype) * (hi_b - lo_b)
     is_swap = (move_type == 1)[:, None]
     values = jnp.where(is_swap, cand_at[:, ::-1], vals_change)
     jj = jnp.arange(kd, dtype=jnp.int32)[None, :]
@@ -579,10 +586,31 @@ def dedupe_delta(delta):
 
 
 def apply_delta(base, delta):
-    """Materialize one delta: base.at[positions].set(values) where valid."""
-    pos = jnp.where(delta["valid"], delta["positions"],
-                    jnp.asarray(base.shape[-1], jnp.int32))
-    return base.at[pos].set(delta["values"].astype(base.dtype), mode="drop")
+    """Materialize one delta. iota-compare-select instead of a scatter:
+    KD selects over f[V] are pure vector ops, while one scatter op carries
+    a large fixed cost on XLA:TPU (DESIGN.md §5). Later delta rows win on
+    position collisions, matching `.at[].set` semantics."""
+    iota = jnp.arange(base.shape[-1], dtype=jnp.int32)
+    out = base
+    for k in range(delta["positions"].shape[0]):
+        m = delta["valid"][k] & (iota == delta["positions"][k])
+        out = jnp.where(m, delta["values"][k].astype(base.dtype), out)
+    return out
+
+
+def take_one(tree, idx):
+    """Extract row `idx` from every leaf's leading axis via a masked
+    reduction (one vector pass per leaf) instead of dynamic-slice/gather
+    ops — the winner-materialization hot path after argmin."""
+    def sel(x):
+        p = x.shape[0]
+        m = jnp.arange(p, dtype=jnp.int32) == idx
+        mm = m.reshape((p,) + (1,) * (x.ndim - 1))
+        if x.dtype == jnp.bool_:
+            return jnp.any(mm & x, axis=0)
+        return jnp.sum(jnp.where(mm, x, jnp.zeros((), x.dtype)), axis=0,
+                       dtype=x.dtype)
+    return jax.tree.map(sel, tree)
 
 
 def move_population(key, population, vm, cfg: MoverConfig, tabu_state):
@@ -603,7 +631,7 @@ def move_population(key, population, vm, cfg: MoverConfig, tabu_state):
 
 def update_tabu_from_info(tabu_state, info, sample_idx):
     """Push one candidate's touched positions into the group ring."""
-    g = info["group"][sample_idx]
-    positions = info["positions"][sample_idx]
-    count = info["count"][sample_idx]
-    return selection.tabu_push(tabu_state, g, positions, count)
+    row = take_one({"group": info["group"], "positions": info["positions"],
+                    "count": info["count"]}, sample_idx)
+    return selection.tabu_push(tabu_state, row["group"], row["positions"],
+                               row["count"])

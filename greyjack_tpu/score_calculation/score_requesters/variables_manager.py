@@ -79,6 +79,16 @@ class VariablesManager:
         self.group_sizes = jnp.asarray(self.group_sizes_np)
         self.group_members = jnp.asarray(members)
         self.max_group_size = lmax
+        # packed per-(group, slot) sampler table (member id, lower, upper,
+        # discrete): the narrow move sampler reads all four with ONE gather
+        # instead of a members gather followed by a bounds_pack gather
+        # (XLA:TPU gathers carry a large fixed cost, DESIGN.md §5)
+        self.slot_pack = jnp.concatenate(
+            [jnp.asarray(members, dtype=config.FLOAT_DTYPE)[:, :, None],
+             jnp.asarray(lower[members], dtype=config.FLOAT_DTYPE)[:, :, None],
+             jnp.asarray(upper[members], dtype=config.FLOAT_DTYPE)[:, :, None],
+             jnp.asarray(discrete[members].astype(np.float64),
+                         dtype=config.FLOAT_DTYPE)[:, :, None]], axis=-1)
 
     # --- device ops --------------------------------------------------------
     def sample_variables(self, key, n_samples):

@@ -148,9 +148,19 @@ def main():
 
     results["argmin"] = scan_time(run_argmin, c0)
 
+    ints0 = jax.jit(lambda d: req.request_score_delta_ints(ctx, d))(deltas0)
+    if ints0 is not None:
+        ints0 = jax.block_until_ready(ints0)
+
+        def run_argmin_i(carry):
+            s = ints0 + carry
+            return (lexico.lex_argmin(s) & 1).astype(jnp.int32)
+
+        results["argmin_i"] = scan_time(run_argmin_i, c0)
+
     def run_updctx(carry):
         cx, i = carry
-        winner = jax.tree.map(lambda x: x[i % P], deltas0)
+        winner = moves.take_one(deltas0, i % P)
         cx = req.update_ctx(cx, winner)
         return (cx, i + 1)
 
@@ -158,7 +168,7 @@ def main():
 
     def run_apply(carry):
         row, i = carry
-        winner = jax.tree.map(lambda x: x[i % P], deltas0)
+        winner = moves.take_one(deltas0, i % P)
         return (moves.apply_delta(row, winner), i + 1)
 
     results["apply"] = scan_time(run_apply, (base, jnp.zeros((), jnp.int32)))
