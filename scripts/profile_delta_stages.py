@@ -94,10 +94,36 @@ def main():
 
     results = {}
 
+    # --- harness floor: near-empty body calibrates the per-iteration cost
+    # of the scan carry itself (subtract from every stage below)
+    results["nil"] = scan_time(lambda i: i + 1, jnp.zeros((), jnp.int32))
+
     # --- move sampler: carry = key ------------------------------------------
     results["move_d"] = scan_time(
         lambda k: jax.random.fold_in(
             k, jnp.sum(sample(k)["positions"]) & 1),
+        key)
+
+    # sampler sub-attribution: PRNG draws alone, and the sampler with the
+    # tabu-mask gather disabled (masks=None) — the difference to move_d is
+    # the combined mask gather
+    def rng_only(k):
+        ku, kg, kv = jax.random.split(k, 3)
+        u = jax.random.uniform(ku, (P, 9), dtype=jnp.float32)
+        uv = jax.random.uniform(kv, (P, 2), dtype=jnp.float64)
+        g = jax.random.randint(kg, (P,), 0, max(1, cfg.n_groups))
+        dep = (jnp.sum(u[:, 0]) + jnp.sum(uv[:, 0])).astype(jnp.int32) & 1
+        return jax.random.fold_in(k, dep + g[0] * 0)
+
+    results["samp_rng"] = scan_time(rng_only, key)
+
+    def sample_nomask(k):
+        return moves._move_population_delta_narrow(k, base, P, vm, cfg,
+                                                   None)[0]
+
+    results["samp_nomask"] = scan_time(
+        lambda k: jax.random.fold_in(
+            k, jnp.sum(sample_nomask(k)["positions"]) & 1),
         key)
 
     # --- scoring stages: carry perturbs delta positions (data-dependent) ----
