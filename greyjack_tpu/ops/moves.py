@@ -97,6 +97,7 @@ class MoverConfig:
         self.use_tabu = tabu_entity_rate > 0.0
         self.n_groups = vm.n_semantic_groups
         self.max_group_size = vm.max_group_size
+        self.group_sizes = vm.group_sizes
 
         # static per-move delta widths (positions a move may touch); with
         # zero mutation rates the Binomial change-count floor applies
@@ -130,6 +131,28 @@ class MoverConfig:
             return None
         return selection.tabu_masks_all(tabu_state, self.tabu_sizes,
                                         self.max_group_size)
+
+    def tabu_free(self, tabu_state):
+        """(free_list i32[G, Lmax], free_count i32[G]): per-group non-tabu
+        slot ids, compacted ascending. Built ONCE per step (one small
+        scatter); the narrow sampler then draws uniformly from the free set
+        — exact tabu semantics (the bounded-rejection fallback could still
+        pick tabu slots) and, decisively, no per-neighbour bool mask
+        gather, which profiled at ~2.5 ms/step at P=16k on v5e (the whole
+        rest of the sampler is noise-level)."""
+        lmax = self.max_group_size
+        slot = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+        free = slot < self.group_sizes[:, None]
+        if self.use_tabu:
+            free &= ~selection.tabu_masks_all(tabu_state, self.tabu_sizes,
+                                              lmax)
+        cnt = jnp.sum(free, axis=1, dtype=jnp.int32)
+        idx = jnp.cumsum(free, axis=1, dtype=jnp.int32) - 1
+        g = free.shape[0]
+        fl = jnp.zeros((g, lmax), jnp.int32).at[
+            jnp.arange(g)[:, None], jnp.where(free, idx, lmax)
+        ].set(jnp.broadcast_to(slot, free.shape), mode="drop")
+        return fl, cnt
 
 
 def _mswap(q, a, b, enable):
@@ -473,24 +496,26 @@ def do_move_delta(key, candidate, vm, cfg: MoverConfig, tabu_masks):
     return delta, info
 
 
-def _move_population_delta_narrow(key, base, n, vm, cfg, masks):
+def _move_population_delta_narrow(key, base, n, vm, cfg, free):
     """Flat-batch sampler for the hot narrow configs (change/swap only,
     zero mutation-rate multiplier, 2-wide deltas): the whole neighbourhood
-    draws from ~4 batched PRNG calls and 5 gathers, replacing per-neighbour
-    key splitting (~10 threefry call sites) and the generic multi-branch
-    machinery of `do_move_delta`. Move SEMANTICS are identical (same
-    uniform choice of move/group/pair/values, same tabu bounded-rejection);
-    the PRNG stream differs — fine, the reference draws OS entropy anyway
-    (`mover.rs:104`, SURVEY §5)."""
+    draws from 3 batched PRNG calls and 3 small gathers, replacing
+    per-neighbour key splitting (~10 threefry call sites) and the generic
+    multi-branch machinery of `do_move_delta`. Slot choice is an EXACT
+    uniform draw from the per-group tabu-free slot list (`cfg.tabu_free`,
+    built once per step) — no per-neighbour mask lookups, no rejection.
+    Move semantics otherwise match the reference (uniform move/group/pair/
+    value choice); the PRNG stream differs — fine, the reference draws OS
+    entropy anyway (`mover.rs:104`, SURVEY §5)."""
+    free_list, free_count = free
     kd = cfg.delta_width
-    att = 4
     ku, kg, kv = jax.random.split(key, 3)
-    # f32 draws for move-type/slot attempts (software-emulated f64 PRNG off
+    # f32 draws for move-type/slot choice (software-emulated f64 PRNG off
     # the hot path); only the replacement-value lerp draws in base dtype
-    u = jax.random.uniform(ku, (n, 1 + 2 * att), dtype=jnp.float32)
+    u = jax.random.uniform(ku, (n, 3), dtype=jnp.float32)
     uv = jax.random.uniform(kv, (n, kd), dtype=base.dtype)
     g = jax.random.randint(kg, (n,), 0, max(1, cfg.n_groups))
-    length = vm.group_sizes[g].astype(jnp.int32)
+    fc = free_count[g]                                    # [n] tiny gather
 
     if len(cfg.enabled) == 1:
         move_type = jnp.full((n,), cfg.enabled[0], jnp.int32)
@@ -499,32 +524,16 @@ def _move_population_delta_narrow(key, base, n, vm, cfg, masks):
             cfg.thresholds.astype(jnp.float32)[None, :] < u[:, :1],
             axis=1).astype(jnp.int32)
 
-    fla = length.astype(jnp.float32)
-    ca = jnp.floor(u[:, 1:1 + att] * fla[:, None]).astype(jnp.int32)
-    flb = jnp.maximum(length - 1, 1).astype(jnp.float32)
-    cb = jnp.floor(u[:, 1 + att:1 + 2 * att] * flb[:, None]).astype(jnp.int32)
-    if masks is not None:
-        # ONE combined mask gather: candidate-a slots, candidate-b slots and
-        # their +1 shifts (the b-shift depends on a, so both variants are
-        # prefetched and selected arithmetically)
-        cbp1 = jnp.minimum(cb + 1, vm.max_group_size - 1)
-        free = ~masks[g[:, None], jnp.concatenate([ca, cb, cbp1], axis=1)]
-        free_a = free[:, :att]
-        pick = jnp.argmax(free_a, axis=1)
-        a = jnp.where(jnp.any(free_a, axis=1),
-                      jnp.take_along_axis(ca, pick[:, None], 1)[:, 0],
-                      ca[:, att - 1])
-        ge = cb >= a[:, None]
-        free_b = jnp.where(ge, free[:, 2 * att:], free[:, att:2 * att])
-        pickb = jnp.argmax(free_b, axis=1)
-        b1 = jnp.where(jnp.any(free_b, axis=1),
-                       jnp.take_along_axis(cb, pickb[:, None], 1)[:, 0],
-                       cb[:, att - 1])
-    else:
-        a = ca[:, 0]
-        b1 = cb[:, 0]
-    b = jnp.where(length > 1, b1 + (b1 >= a).astype(jnp.int32), a)
-    sel = jnp.stack([a, b], axis=1)                       # [n, 2]
+    # distinct free-slot pair in O(1): draw a uniformly over fc free slots,
+    # b over the remaining fc-1 with a shift past a's index
+    fc1 = jnp.maximum(fc, 1)
+    a_idx = jnp.minimum(jnp.floor(u[:, 1] * fc1.astype(jnp.float32))
+                        .astype(jnp.int32), fc1 - 1)
+    fb = jnp.maximum(fc - 1, 1)
+    b1 = jnp.minimum(jnp.floor(u[:, 2] * fb.astype(jnp.float32))
+                     .astype(jnp.int32), fb - 1)
+    b_idx = jnp.where(fc >= 2, b1 + (b1 >= a_idx).astype(jnp.int32), a_idx)
+    sel = free_list[g[:, None], jnp.stack([a_idx, b_idx], axis=1)]  # [n, 2]
 
     # ONE packed (member, lo, hi, discrete) gather + the base-value gather
     sp = vm.slot_pack[g[:, None], sel]                    # [n, 2, 4] gather
@@ -538,9 +547,10 @@ def _move_population_delta_narrow(key, base, n, vm, cfg, masks):
     is_swap = (move_type == 1)[:, None]
     values = jnp.where(is_swap, cand_at[:, ::-1], vals_change)
     jj = jnp.arange(kd, dtype=jnp.int32)[None, :]
-    # rates_zero: change touches exactly 1 var, swap exactly 2
-    valid = jnp.where(is_swap, length[:, None] >= 2,
-                      (jj < 1) & (length[:, None] >= 1))
+    # rates_zero: change touches exactly 1 var, swap exactly 2; a move
+    # needs enough FREE slots (1 / 2) — exact tabu semantics
+    valid = jnp.where(is_swap, fc[:, None] >= 2,
+                      (jj < 1) & (fc[:, None] >= 1))
     values = jnp.clip(values, lo_b, hi_b)
     values = jnp.where(disc, jnp.round(values), values)
 
@@ -558,11 +568,11 @@ def move_population_delta(key, base, n_neighbours, vm, cfg: MoverConfig,
     neighbour matrix is ever materialized. The tabu masks are built once
     and shared by the whole neighbourhood.
     """
-    masks = cfg.tabu_masks(tabu_state)
     if (cfg.rates_zero and set(cfg.enabled) <= {0, 1}
             and cfg.delta_width == 2 and cfg.k_sel == 2):
         return _move_population_delta_narrow(key, base, n_neighbours, vm,
-                                             cfg, masks)
+                                             cfg, cfg.tabu_free(tabu_state))
+    masks = cfg.tabu_masks(tabu_state)
     keys = jax.random.split(key, n_neighbours)
 
     def one(k):

@@ -117,9 +117,11 @@ def main():
 
     results["samp_rng"] = scan_time(rng_only, key)
 
+    cfg_nt = moves.MoverConfig(vm, 0.0, None, probas)
+
     def sample_nomask(k):
-        return moves._move_population_delta_narrow(k, base, P, vm, cfg,
-                                                   None)[0]
+        return moves._move_population_delta_narrow(
+            k, base, P, vm, cfg_nt, cfg_nt.tabu_free(tabu))[0]
 
     results["samp_nomask"] = scan_time(
         lambda k: jax.random.fold_in(
