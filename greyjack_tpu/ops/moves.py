@@ -147,6 +147,9 @@ class MoverConfig:
             free &= ~selection.tabu_masks_all(tabu_state, self.tabu_sizes,
                                               lmax)
         cnt = jnp.sum(free, axis=1, dtype=jnp.int32)
+        # cumsum-rank scatter compaction (free slots first, ascending); an
+        # argsort formulation compiled pathologically on TPU (sort network
+        # inside vmap x scan blew the bench compile past 900s)
         idx = jnp.cumsum(free, axis=1, dtype=jnp.int32) - 1
         g = free.shape[0]
         fl = jnp.zeros((g, lmax), jnp.int32).at[

@@ -132,11 +132,13 @@ def tabu_masks_all(tabu_state, tabu_sizes, max_len):
     slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
     age = (cursor[:, None] - 1 - slot) % cap
     recent = age < tabu_sizes[:, None]
-    entries = jnp.where(recent & (ring >= 0), ring, max_len)
-    masks = jnp.zeros((g, max_len + 1), dtype=bool).at[
-        jnp.arange(g)[:, None], entries
-    ].set(True)
-    return masks[:, :max_len]
+    entries = jnp.where(recent & (ring >= 0), ring, -1)
+    # compare-based (no scatter): scatters turn into serialized 3D scatters
+    # under the island vmap; [G, cap, max_len] compares stay vector ops
+    masks = jnp.any(entries[:, :, None]
+                    == jnp.arange(max_len, dtype=jnp.int32)[None, None, :],
+                    axis=1)
+    return masks
 
 
 def tabu_mask_row(tabu_masks, group_idx):
@@ -150,17 +152,23 @@ def tabu_mask_row(tabu_masks, group_idx):
 
 
 def tabu_push(tabu_state, group_idx, positions, count):
-    """Push `positions[:count]` into the group's ring (oldest evicted)."""
+    """Push `positions[:count]` into the group's ring (oldest evicted).
+    Compare-select writes (no scatter — see tabu_masks_all)."""
     ring = tabu_state["ring"]
     cursor = tabu_state["cursor"]
-    cap = ring.shape[1]
+    g, cap = ring.shape
     k_max = positions.shape[0]
     i = jnp.arange(k_max, dtype=jnp.int32)
-    slots = (cursor[group_idx] + i) % cap
-    slots = jnp.where(i < count, slots, cap)  # drop beyond-count writes
-    new_row = ring[group_idx].at[slots].set(positions, mode="drop")
-    ring = ring.at[group_idx].set(new_row)
-    cursor = cursor.at[group_idx].set((cursor[group_idx] + count) % cap)
+    cur = jnp.sum(jnp.where(jnp.arange(g) == group_idx, cursor, 0),
+                  dtype=cursor.dtype)
+    slots = jnp.where(i < count, (cur + i) % cap, -1)     # [k_max]
+    m = ((jnp.arange(g)[:, None, None] == group_idx)
+         & (jnp.arange(cap)[None, :, None] == slots[None, None, :]))
+    val = jnp.sum(jnp.where(m, positions[None, None, :], 0), axis=2,
+                  dtype=ring.dtype)
+    ring = jnp.where(jnp.any(m, axis=2), val, ring)
+    cursor = jnp.where(jnp.arange(g) == group_idx, (cur + count) % cap,
+                       cursor)
     return {"ring": ring, "cursor": cursor}
 
 

@@ -149,11 +149,32 @@ def main():
         s = delta_pallas.score_delta_batch(ctx, perturbed(carry), utils)
         return dep(s)
 
+    def run_ints(carry):
+        s = delta_pallas.score_delta_batch_ints(ctx, perturbed(carry), utils)
+        return (jnp.sum(s[:, -1]) & 1).astype(jnp.int32)
+
+    def run_dm_only(carry):
+        # pre + kernel + a dm gather of the same width as _post's — isolates
+        # the random-access gather from the rest of the post assembly
+        inputs, aux = delta_pallas._pre(ctx, perturbed(carry), utils)
+        outs = delta_pallas._call_kernel(inputs, utils, aux["kd"])
+        kd = aux["kd"]
+        nr = delta_pallas.n_routes(kd)
+        u8 = jnp.sum(outs[1].reshape(-1, nr, 8), axis=1, dtype=jnp.int32)
+        v8 = jnp.sum(outs[2].reshape(-1, nr, 8), axis=1, dtype=jnp.int32)
+        width = 3 * kd + 2 * nr
+        gidx = (jnp.abs(jnp.concatenate([u8, v8], axis=1)[:, :width])
+                % utils["dm_flat_milli"].shape[0])
+        gvals = utils["dm_flat_milli"][gidx]
+        return (jnp.sum(gvals[:, 0]) & 1).astype(jnp.int32)
+
     c0 = jnp.zeros((), jnp.int32)
     if delta_pallas.eligible(utils, deltas0):
         results["pre"] = scan_time(run_pre, c0)
         results["pre+kern"] = scan_time(run_prekern, c0)
+        results["pk+dm"] = scan_time(run_dm_only, c0)
         results["score_full"] = scan_time(run_full, c0)
+        results["score_ints"] = scan_time(run_ints, c0)
     else:
         print("# kernel ineligible; skipping pallas stages", flush=True)
 

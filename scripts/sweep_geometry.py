@@ -2,11 +2,14 @@
 
 One process, one instance build; each geometry compiles its own chunk
 program (persistent-cached). Prints moves/s per geometry so the bench
-defaults can be set to the knee of the curve.
+defaults can be set to the knee of the curve. Set GJ_SWEEP_OUT=path.json
+to persist the rows as a versioned artifact (VERDICT r2: benchmark
+numbers must be committed artifacts, not code comments).
 
 Run: python scripts/sweep_geometry.py "256,1024,4096" "8,16" [chunk_steps]
 """
 
+import json
 import os
 import sys
 import time
@@ -45,6 +48,7 @@ def main():
     print(f"# setup {time.time()-t0:.1f}s backend={jax.default_backend()}",
           flush=True)
 
+    rows = []
     for n_islands in island_list:
         for neigh in neighbour_list:
             agent = TabuSearch(neigh, 0.2, True, None,
@@ -81,6 +85,20 @@ def main():
                   f" {thr:12.0f} moves/s"
                   f" step={elapsed/chunks/chunk_steps*1e3:8.3f} ms",
                   flush=True)
+            rows.append({"islands": n_islands, "neighbours": neigh,
+                         "chunk_steps": chunk_steps,
+                         "moves_per_s": round(thr, 1),
+                         "step_ms": round(elapsed / chunks / chunk_steps * 1e3,
+                                          3),
+                         "compile_s": round(compile_s, 1)})
+
+    out = os.environ.get("GJ_SWEEP_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"instance": "synthetic-tw-d8-n1000-k40",
+                       "backend": jax.default_backend(), # noqa
+                       "rows": rows}, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":

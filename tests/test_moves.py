@@ -82,6 +82,37 @@ def test_tabu_state_updates():
     assert int(ts2["cursor"][int(info["group"][0])]) > 0
 
 
+def test_tabu_push_multi_group():
+    # regression: the compare-select tabu_push must address the right ring
+    # row when G > 1 (a G=1 ring broadcasts by accident)
+    from greyjack_tpu.ops import selection
+
+    ts = selection.make_tabu_state(3, 8)
+    pos = np.array([4, 7], np.int32)
+    ts2 = selection.tabu_push(ts, 2, pos, 2)
+    ring = np.asarray(ts2["ring"])
+    assert ring[2, 0] == 4 and ring[2, 1] == 7
+    assert (ring[0] == -1).all() and (ring[1] == -1).all()
+    assert int(ts2["cursor"][2]) == 2 and int(ts2["cursor"][0]) == 0
+    # eviction wraps the cursor
+    for s in range(5):
+        ts2 = selection.tabu_push(ts2, 2, pos + s, 2)
+    assert int(ts2["cursor"][2]) == (2 + 10) % 8
+    # free-list view excludes pushed (recent) slots
+    vs = [GJInteger(i, 0, 9, semantic_groups=["g1"]) for i in range(8)] + [
+        GJInteger(i, 0, 9, semantic_groups=["g2"]) for i in range(8)
+    ]
+    vm2 = VariablesManager(vs)
+    cfg2 = moves.MoverConfig(vm2, 0.5, None, [0.5, 0.5, 0, 0, 0, 0])
+    tsf = cfg2.init_tabu_state()
+    tsf = selection.tabu_push(tsf, 1, np.array([3, 5], np.int32), 2)
+    fl, fc = cfg2.tabu_free(tsf)
+    fl, fc = np.asarray(fl), np.asarray(fc)
+    assert fc[0] == 8 and fc[1] == 6
+    assert 3 not in fl[1, :fc[1]] and 5 not in fl[1, :fc[1]]
+    assert sorted(fl[1, :fc[1]].tolist()) == [0, 1, 2, 4, 6, 7]
+
+
 def test_multi_group_moves_stay_within_group():
     # two semantic groups over disjoint variable ranges: a move must only
     # touch one group's slots
