@@ -37,7 +37,8 @@ class MetaheuristicKernel:
     Called once per chunk, so an O(N) rebuild is amortized over
     `migration_frequency` O(K) steps."""
 
-    def __init__(self, builder, init_state, step, refresh=None):
+    def __init__(self, builder, init_state, step, refresh=None,
+                 self_gating=False):
         self.builder = builder
         self.init_state = init_state
         self.step = step
@@ -45,6 +46,12 @@ class MetaheuristicKernel:
         self.metaheuristic_kind = builder.metaheuristic_kind
         self.population_size = builder.population_size
         self.migration_rate = builder.migration_rate
+        # self_gating: the step reads extras["_active"] (bool, per island)
+        # and freezes ALL its state writes itself when False — the runner
+        # then skips the per-step `mask_state` where-tree over the whole
+        # island state (ctx tables + population + tabu, ~25 select ops and
+        # a broken scan-carry alias per step at flagship shapes)
+        self.self_gating = self_gating
 
 
 def make_score_fn(requester, score_precision=None):

@@ -60,6 +60,12 @@ class TabuSearch:
                 return state
 
             def step(key, state, extras):
+                # self-gating (`MetaheuristicKernel.self_gating`): when
+                # `_active` is False every state write below is an exact
+                # identity — the winner is invalidated (apply/update_ctx
+                # no-op bit-exactly), the tabu push count drops to 0 and
+                # step_id freezes — so the runner never needs to mask
+                active = extras.get("_active", jnp.bool_(True))
                 k_move, _ = jax.random.split(key)
                 base_row = state["population"][0]
                 deltas, info = moves.move_population_delta(
@@ -77,7 +83,7 @@ class TabuSearch:
                     best = lexico.lex_argmin(ints)
                     accept = lexico.lex_leq(
                         moves.take_one(ints, best),
-                        jnp.zeros((ints.shape[-1],), ints.dtype))
+                        jnp.zeros((ints.shape[-1],), ints.dtype)) & active
                     winner = moves.take_one(deltas, best)
                     winner = {**winner, "valid": winner["valid"] & accept}
                     new_row = moves.apply_delta(base_row, winner)
@@ -90,7 +96,8 @@ class TabuSearch:
                     scores = delta_score_fn(state["ctx"], deltas)
                     best = lexico.lex_argmin(scores)
                     best_score = moves.take_one(scores, best)
-                    accept = lexico.lex_leq(best_score, state["scores"][0])
+                    accept = (lexico.lex_leq(best_score, state["scores"][0])
+                              & active)
                     winner = moves.take_one(deltas, best)
                     winner = {**winner, "valid": winner["valid"] & accept}
                     new_row = moves.apply_delta(base_row, winner)
@@ -100,9 +107,10 @@ class TabuSearch:
                     state["ctx"] = requester.update_ctx(state["ctx"], winner)
                 if cfg.use_tabu:
                     state["tabu"] = moves.update_tabu_from_info(
-                        state["tabu"], info, best)
+                        state["tabu"], info, best, active)
                 state = base.update_top(state)
-                state["step_id"] = state["step_id"] + 1
+                state["step_id"] = state["step_id"] + active.astype(
+                    state["step_id"].dtype)
                 return state
 
             def refresh(state):
@@ -111,7 +119,8 @@ class TabuSearch:
                     state["population"][0])
                 return state
 
-            return base.MetaheuristicKernel(self, init_state, step, refresh)
+            return base.MetaheuristicKernel(self, init_state, step, refresh,
+                                            self_gating=True)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)

@@ -48,8 +48,8 @@ _BIG = 1 << 30
 # tiles for the time-windowed kernel. We model scoped VMEM as
 # UNITS * (NB*2KD) * Rp * 4B and pick the largest NB that stays under a
 # conservative budget, leaving headroom for Mosaic's own scratch.
-_VMEM_UNITS_TW = 72       # measured 61.4; margin for Mosaic version drift
-_VMEM_UNITS_NOTW = 48     # no ct/fl/ce merge keys, no lateness scan arrays
+_VMEM_UNITS_TW = 88       # measured 61.4 + ~13 tall-stack tiles; margin
+_VMEM_UNITS_NOTW = 60     # no ct/fl/ce merge keys, no lateness scan arrays
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -171,17 +171,22 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
     shift = ins_before - rem_before
     survives = ~cleared
 
-    # --- merge: 2*KD+1 masked rolls ----------------------------------------
+    # --- merge: 2*KD+1 masked rolls, all keys stacked on sublanes ----------
+    # one tall [nk*nba, rp] roll per shift instead of one roll per
+    # (shift, key): 5 rolls total, not 25 — roll/where op issue dominates
+    # the grid at these tile sizes
     keys = [r_c, r_leg] + ([r_ct, r_fl, r_ce] if tw else [])
-    merged = [jnp.zeros((nba, rp), jnp.int32) for _ in keys]
+    nk = len(keys)
+    lane_tall = jax.lax.broadcasted_iota(jnp.int32, (nk * nba, rp), 1)
+    acc_tall = jnp.zeros((nk * nba, rp), jnp.int32)
     for s in range(-kd, kd + 1):
         m = survives & (shift == s)
-        keep = (lane >= s) if s >= 0 else (lane < rp + s)
-        for i, key in enumerate(keys):
-            merged[i] = merged[i] + jnp.where(
-                keep, _roll_lanes(jnp.where(m, key, jnp.int32(0)), s, rp,
-                                  native),
-                jnp.int32(0))
+        keep = (lane_tall >= s) if s >= 0 else (lane_tall < rp + s)
+        masked_tall = jnp.concatenate(
+            [jnp.where(m, key, jnp.int32(0)) for key in keys], axis=0)
+        acc_tall = acc_tall + jnp.where(
+            keep, _roll_lanes(masked_tall, s, rp, native), jnp.int32(0))
+    merged = [acc_tall[i * nba:(i + 1) * nba] for i in range(nk)]
 
     # --- inserts -------------------------------------------------------------
     ins_pos = []
@@ -237,29 +242,38 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
 
     # --- dirty-pair extraction -------------------------------------------------
     # physical slots: [E1_k (locus-1), E2_k (locus, stay)] from XLA el;
-    # [E3_k (ins_pos-1), E4_k (ins_pos)] from in-kernel insert positions
-    us, vs, cs = [], [], []
-
-    def _uvc(elr):
-        # elr == -1 disables the slot: `lane == elr` never matches, and the
-        # +1 variant is guarded so lane 0 doesn't falsely match
-        us.append(_extract(lane == elr, m_c))
-        vs.append(_extract((lane == elr + 1) & (elr >= 0), m_c))
-        cs.append(_extract(lane == elr, m_leg))
-
-    for k in range(kd):          # E1: (a_of_row, locus-1)
-        _uvc(el_ref[:, k:k + 1])
-    for k in range(kd):          # E2: stay rows at (a_of_row, locus)
-        _uvc(el_ref[:, kd + k:kd + k + 1])
-    for k in range(kd):          # E3: (a_of_new, ins_pos-1), iflag-guarded
-        _uvc(jnp.where(iflag[k], ins_pos[k] - 1, jnp.int32(-1)))
-    for k in range(kd):          # E4: (a_of_new, ins_pos)
-        _uvc(jnp.where(iflag[k], ins_pos[k], jnp.int32(-1)))
+    # [E3_k (ins_pos-1), E4_k (ins_pos)] from in-kernel insert positions.
+    # All 4*kd slots stacked on sublanes: 3 tall masked reductions instead
+    # of 12x3 per-slot extracts (elr == -1 disables a slot: `lane == elr`
+    # never matches, and the +1 variant is guarded so lane 0 doesn't match)
+    slot_cols = (
+        [el_ref[:, k:k + 1] for k in range(kd)]               # E1
+        + [el_ref[:, kd + k:kd + k + 1] for k in range(kd)]   # E2
+        + [jnp.where(iflag[k], ins_pos[k] - 1, jnp.int32(-1))
+           for k in range(kd)]                                # E3
+        + [jnp.where(iflag[k], ins_pos[k], jnp.int32(-1))
+           for k in range(kd)])                               # E4
+    ne = 4 * kd
+    el_all = jnp.concatenate(slot_cols, axis=0)               # [ne*nba, 1]
+    lane_e = jax.lax.broadcasted_iota(jnp.int32, (ne * nba, rp), 1)
+    mc_tall = jnp.concatenate([m_c] * ne, axis=0)
+    mleg_tall = jnp.concatenate([m_leg] * ne, axis=0)
+    m_at = lane_e == el_all
+    m_rt = (lane_e == el_all + 1) & (el_all >= 0)
+    us_t = jnp.sum(jnp.where(m_at, mc_tall, jnp.int32(0)), axis=1,
+                   keepdims=True, dtype=jnp.int32)
+    vs_t = jnp.sum(jnp.where(m_rt, mc_tall, jnp.int32(0)), axis=1,
+                   keepdims=True, dtype=jnp.int32)
+    cs_t = jnp.sum(jnp.where(m_at, mleg_tall, jnp.int32(0)), axis=1,
+                   keepdims=True, dtype=jnp.int32)
 
     pad = [jnp.zeros((nba, 1), jnp.int32)] * (8 - 4 * kd)
-    u_ref[:] = jnp.concatenate(us + pad, axis=1)
-    v_ref[:] = jnp.concatenate(vs + pad, axis=1)
-    c_ref[:] = jnp.concatenate(cs + pad, axis=1)
+    u_ref[:] = jnp.concatenate(
+        [us_t[e * nba:(e + 1) * nba] for e in range(ne)] + pad, axis=1)
+    v_ref[:] = jnp.concatenate(
+        [vs_t[e * nba:(e + 1) * nba] for e in range(ne)] + pad, axis=1)
+    c_ref[:] = jnp.concatenate(
+        [cs_t[e * nba:(e + 1) * nba] for e in range(ne)] + pad, axis=1)
     ip_out = [jnp.where(iflag[k], ins_pos[k], jnp.int32(-1))
               for k in range(kd)]
     ip_pad = [jnp.zeros((nba, 1), jnp.int32)] * (2 - kd)

@@ -642,9 +642,14 @@ def move_population(key, population, vm, cfg: MoverConfig, tabu_state):
     return jax.vmap(one, in_axes=(0, 0, None))(keys, population, masks)
 
 
-def update_tabu_from_info(tabu_state, info, sample_idx):
-    """Push one candidate's touched positions into the group ring."""
+def update_tabu_from_info(tabu_state, info, sample_idx, active=None):
+    """Push one candidate's touched positions into the group ring.
+    `active=False` freezes the ring exactly (count 0 writes nothing and
+    leaves the cursor in place) — the self-gating step contract."""
     row = take_one({"group": info["group"], "positions": info["positions"],
                     "count": info["count"]}, sample_idx)
+    count = row["count"]
+    if active is not None:
+        count = jnp.where(active, count, 0)
     return selection.tabu_push(tabu_state, row["group"], row["positions"],
-                               row["count"])
+                               count)

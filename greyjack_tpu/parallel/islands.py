@@ -161,8 +161,15 @@ class IslandRunner:
                 if k2 in lerped else v
                 for k2, v in extras.items() if k2 not in ends
             }
-            new = jax.vmap(step)(keys, st, ex)
-            new = agent_base.mask_state(new, st, alive & (i < steps_left))
+            act = alive & (i < steps_left)
+            if self.kernel.self_gating:
+                # the kernel freezes its own writes when inactive — no
+                # whole-state where-tree per step (it breaks the scan-carry
+                # buffer alias and costs ~25 selects over MBs of ctx)
+                new = jax.vmap(step)(keys, st, {**ex, "_active": act})
+            else:
+                new = jax.vmap(step)(keys, st, ex)
+                new = agent_base.mask_state(new, st, act)
             return (new, k), None
 
         (islands, _), _ = jax.lax.scan(

@@ -238,6 +238,21 @@ def main():
 
     results["step"] = scan_time(step_body, (state0, key))
 
+    # flat variant: ONE island with the whole P as its neighbourhood —
+    # isolates the island-vmap penalty from the step content
+    agent1 = TabuSearch(P, tabu_rate, True, None, probas, 10, StepsLimit(10))
+    kernel1 = agent1.build_kernel(req, None)
+    state1 = jax.block_until_ready(
+        jax.jit(kernel1.init_state)(jax.random.key(1)))
+
+    def step1_body(carry):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        st = kernel1.step(sub, st, {})
+        return (st, k)
+
+    results["step_flat"] = scan_time(step1_body, (state1, key))
+
     print(f"\n{'stage':<12} {'ms':>9} {'moves/s':>12}")
     prev = None
     for kname, t in results.items():
