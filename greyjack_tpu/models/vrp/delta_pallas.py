@@ -133,8 +133,13 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
     # type helper recurses on bool casts
     onehot = jnp.where(av_ref[:] == kio,
                        jnp.float32(1), jnp.float32(0))
+    # HIGHEST precision: the MXU's default f32 path rounds through bf16
+    # passes on hardware (interpret mode is exact f32) — payloads are
+    # < 2^24 ints, so full-precision passes make the select exact
+    # (hardware-parity suite caught ~0.5% lateness drift without this)
     base = jnp.dot(onehot, ctx_ref[:].astype(jnp.float32),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     r_stop = base[:, 0:rp]
     r_c = base[:, rp:2 * rp]
     r_ct = base[:, 2 * rp:3 * rp]
@@ -254,12 +259,15 @@ def _kernel(ctx_ref, av_ref, sc_ref, ins_ref, pay_ref, el_ref,
         + [jnp.where(iflag[k], ins_pos[k], jnp.int32(-1))
            for k in range(kd)])                               # E4
     ne = 4 * kd
-    el_all = jnp.concatenate(slot_cols, axis=0)               # [ne*nba, 1]
-    lane_e = jax.lax.broadcasted_iota(jnp.int32, (ne * nba, rp), 1)
+    # per-slot [nba, rp] masks are built BEFORE the sublane concat: Mosaic
+    # cannot concatenate 1-wide column slices whose lane offsets differ
+    # ("result/input offset mismatch on non-concat dimension"; caught by
+    # tests/test_delta_pallas_tpu.py — interpret mode accepts it)
     mc_tall = jnp.concatenate([m_c] * ne, axis=0)
     mleg_tall = jnp.concatenate([m_leg] * ne, axis=0)
-    m_at = lane_e == el_all
-    m_rt = (lane_e == el_all + 1) & (el_all >= 0)
+    m_at = jnp.concatenate([lane == col for col in slot_cols], axis=0)
+    m_rt = jnp.concatenate(
+        [(lane == col + 1) & (col >= 0) for col in slot_cols], axis=0)
     us_t = jnp.sum(jnp.where(m_at, mc_tall, jnp.int32(0)), axis=1,
                    keepdims=True, dtype=jnp.int32)
     vs_t = jnp.sum(jnp.where(m_rt, mc_tall, jnp.int32(0)), axis=1,
