@@ -35,10 +35,11 @@ if os.path.exists(_baseline_file):
 N_CUSTOMERS = int(os.environ.get("GJ_BENCH_CUSTOMERS", "1000"))
 N_DEPOTS = 8
 K_VEHICLES = 40
-N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "8"))
-# 2048 is the measured knee (scripts/sweep_geometry.py 2026-08-19: 784k
-# moves/s at 8x2048; 4096/8192 scale step time linearly — compute-bound)
-NEIGHBOURS = int(os.environ.get("GJ_BENCH_NEIGHBOURS", "2048"))
+N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "4"))
+# 4x4096 is the sweep's knee (SWEEP_r03.json: 1.394M vs 1.347M at 8x2048;
+# throughput is flat within ~3% from 4x4096 to 16x8192 — the pipeline is
+# per-move-work-bound, and fewer islands shave the island-vmap overhead)
+NEIGHBOURS = int(os.environ.get("GJ_BENCH_NEIGHBOURS", "4096"))
 CHUNK_STEPS = int(os.environ.get("GJ_BENCH_CHUNK_STEPS", "10"))
 TARGET_SECONDS = float(os.environ.get("GJ_BENCH_SECONDS", "20"))
 

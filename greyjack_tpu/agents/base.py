@@ -38,11 +38,15 @@ class MetaheuristicKernel:
     `migration_frequency` O(K) steps."""
 
     def __init__(self, builder, init_state, step, refresh=None,
-                 self_gating=False):
+                 self_gating=False, prestep=None):
         self.builder = builder
         self.init_state = init_state
         self.step = step
         self.refresh = refresh
+        # prestep(batched_state) -> extras dict, computed OUTSIDE the
+        # island vmap once per step (e.g. the tabu free-list build, whose
+        # compaction scatter lowers badly as a vmap-batched scatter)
+        self.prestep = prestep
         self.metaheuristic_kind = builder.metaheuristic_kind
         self.population_size = builder.population_size
         self.migration_rate = builder.migration_rate

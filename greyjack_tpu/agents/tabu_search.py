@@ -69,7 +69,8 @@ class TabuSearch:
                 k_move, _ = jax.random.split(key)
                 base_row = state["population"][0]
                 deltas, info = moves.move_population_delta(
-                    k_move, base_row, n, vm, cfg, state["tabu"])
+                    k_move, base_row, n, vm, cfg, state["tabu"],
+                    extras.get("_free"))
                 # int-delta fast path (trace-time static): rank/accept on
                 # i32 delta rows, materialize the f64 score only from the
                 # updated ctx's exact sums. Requires unrounded scores —
@@ -119,8 +120,12 @@ class TabuSearch:
                     state["population"][0])
                 return state
 
+            def prestep(batched_state):
+                return {"_free": cfg.tabu_free(batched_state["tabu"])}
+
             return base.MetaheuristicKernel(self, init_state, step, refresh,
-                                            self_gating=True)
+                                            self_gating=True,
+                                            prestep=prestep)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)

@@ -139,13 +139,32 @@ class MoverConfig:
         — exact tabu semantics (the bounded-rejection fallback could still
         pick tabu slots) and, decisively, no per-neighbour bool mask
         gather, which profiled at ~2.5 ms/step at P=16k on v5e (the whole
-        rest of the sampler is noise-level)."""
+        rest of the sampler is noise-level).
+
+        Accepts an island-batched state (ring [I, G, cap]) and returns
+        [I, G, Lmax]/[I, G]: the batch flattens into the scatter's ROW
+        axis, which XLA handles natively — under vmap the same build
+        lowers to a batched 3D scatter (the kernel `prestep` hook exists
+        exactly to route around that)."""
+        ring = tabu_state["ring"]
+        if ring.ndim == 3:
+            i = ring.shape[0]
+            flat = {"ring": ring.reshape(i * ring.shape[1], ring.shape[2]),
+                    "cursor": tabu_state["cursor"].reshape(-1)}
+            sizes_t = jnp.tile(self.tabu_sizes, i)
+            gsizes_t = jnp.tile(self.group_sizes, i)
+            fl, cnt = self._tabu_free_flat(flat, sizes_t, gsizes_t)
+            return (fl.reshape(i, -1, self.max_group_size),
+                    cnt.reshape(i, -1))
+        return self._tabu_free_flat(tabu_state, self.tabu_sizes,
+                                    self.group_sizes)
+
+    def _tabu_free_flat(self, tabu_state, tabu_sizes, group_sizes):
         lmax = self.max_group_size
         slot = jnp.arange(lmax, dtype=jnp.int32)[None, :]
-        free = slot < self.group_sizes[:, None]
+        free = slot < group_sizes[:, None]
         if self.use_tabu:
-            free &= ~selection.tabu_masks_all(tabu_state, self.tabu_sizes,
-                                              lmax)
+            free &= ~selection.tabu_masks_all(tabu_state, tabu_sizes, lmax)
         cnt = jnp.sum(free, axis=1, dtype=jnp.int32)
         # cumsum-rank scatter compaction (free slots first, ascending); an
         # argsort formulation compiled pathologically on TPU (sort network
@@ -564,17 +583,21 @@ def _move_population_delta_narrow(key, base, n, vm, cfg, free):
 
 
 def move_population_delta(key, base, n_neighbours, vm, cfg: MoverConfig,
-                          tabu_state):
+                          tabu_state, free=None):
     """n_neighbours independent delta moves off one base candidate f[V].
 
     Returns (delta, info) with leading [n_neighbours] axes — no [n, V]
     neighbour matrix is ever materialized. The tabu masks are built once
-    and shared by the whole neighbourhood.
+    and shared by the whole neighbourhood. `free` optionally supplies a
+    precomputed `cfg.tabu_free` pair (the island runner's prestep hook
+    builds it for all islands at once, outside the vmap).
     """
     if (cfg.rates_zero and set(cfg.enabled) <= {0, 1}
             and cfg.delta_width == 2 and cfg.k_sel == 2):
+        if free is None:
+            free = cfg.tabu_free(tabu_state)
         return _move_population_delta_narrow(key, base, n_neighbours, vm,
-                                             cfg, cfg.tabu_free(tabu_state))
+                                             cfg, free)
     masks = cfg.tabu_masks(tabu_state)
     keys = jax.random.split(key, n_neighbours)
 

@@ -162,6 +162,8 @@ class IslandRunner:
                 for k2, v in extras.items() if k2 not in ends
             }
             act = alive & (i < steps_left)
+            if self.kernel.prestep is not None:
+                ex = {**ex, **self.kernel.prestep(st)}
             if self.kernel.self_gating:
                 # the kernel freezes its own writes when inactive — no
                 # whole-state where-tree per step (it breaks the scan-carry

@@ -29,7 +29,8 @@ import numpy as np
 N, D, K = (int(os.environ.get("GJ_AUDIT_N", "200")), 3, 10)
 STEPS = int(os.environ.get("GJ_AUDIT_STEPS", "300"))
 NEIGHBOURS = int(os.environ.get("GJ_AUDIT_NEIGHBOURS", "256"))
-SEEDS = [11, 23, 42]
+SEEDS = [int(s) for s in os.environ.get("GJ_AUDIT_SEEDS",
+                                        "11,23,42").split(",")]
 # insertion/inverse-heavy: the moves whose windows the delta path caps
 PROBAS = [0.2, 0.2, 0.0, 0.0, 0.3, 0.3]
 

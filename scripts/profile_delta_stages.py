@@ -104,6 +104,22 @@ def main():
             k, jnp.sum(sample(k)["positions"]) & 1),
         key)
 
+    # vmapped sampler: per-island tabu states, the bench's actual shape —
+    # isolates the island-vmap penalty of the free-list build (its
+    # compaction scatter batches to a 3D scatter under vmap)
+    tabu8 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_islands,) + x.shape), tabu)
+
+    def sample_v(k):
+        keys = jax.random.split(k, n_islands)
+        return jax.vmap(
+            lambda kk, ts: moves.move_population_delta(
+                kk, base, neigh, vm, cfg, ts)[0]["positions"]
+        )(keys, tabu8)
+
+    results["move_d_vmap"] = scan_time(
+        lambda k: jax.random.fold_in(k, jnp.sum(sample_v(k)) & 1), key)
+
     # sampler sub-attribution: PRNG draws alone, and the sampler with the
     # tabu-mask gather disabled (masks=None) — the difference to move_d is
     # the combined mask gather
