@@ -90,9 +90,15 @@ class TabuSearch:
                     new_row = moves.apply_delta(base_row, winner)
                     state["population"] = new_row[None, :]
                     state["ctx"] = requester.update_ctx(state["ctx"], winner)
-                    # == old score when not accepted (ctx update is identity)
-                    state["scores"] = requester.ctx_score_row(
-                        state["ctx"])[None, :]
+                    # guarded like the float path: on a rejected/inactive step
+                    # the ctx is untouched, but the stored score may have come
+                    # from score_fn at init — overwriting it with the
+                    # ctx-derived row would let any bitwise divergence between
+                    # the two scorers make a "frozen" island's score drift
+                    # (ADVICE r3)
+                    state["scores"] = jnp.where(
+                        accept, requester.ctx_score_row(state["ctx"])[None, :],
+                        state["scores"])
                 else:
                     scores = delta_score_fn(state["ctx"], deltas)
                     best = lexico.lex_argmin(scores)
@@ -120,12 +126,19 @@ class TabuSearch:
                     state["population"][0])
                 return state
 
+            # the free-list prestep only feeds the narrow sampler path; for
+            # wide configs move_population_delta ignores the extra and
+            # rebuilds masks itself, so building the list per step inside the
+            # scan would be pure waste (ADVICE r3)
+            narrow = (cfg.rates_zero and set(cfg.enabled) <= {0, 1}
+                      and cfg.delta_width == 2 and cfg.k_sel == 2)
+
             def prestep(batched_state):
                 return {"_free": cfg.tabu_free(batched_state["tabu"])}
 
             return base.MetaheuristicKernel(self, init_state, step, refresh,
                                             self_gating=True,
-                                            prestep=prestep)
+                                            prestep=prestep if narrow else None)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)

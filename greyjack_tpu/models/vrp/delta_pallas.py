@@ -371,9 +371,16 @@ def _compact_routes(c, kd, k):
                           axis=2).astype(jnp.int32)
     a_of_new = jnp.argmax(av3[:, None, :] == c["new_v"][:, :, None],
                           axis=2).astype(jnp.int32)
+    # invariant guard: the nr=3 compaction assumes a kd<=2 delta touches at
+    # most 3 distinct vehicles (holds for every config eligible() admits
+    # today). A future move type violating it would silently drop the 4th
+    # route and mis-score — poison such neighbours with the stub instead
+    # (`compact_bad` folds into over_cap in _pre; ADVICE r3)
+    compact_bad = jnp.sum(arep4.astype(jnp.int32), axis=1) > nr
     return {**c, "av": av3, "arep": av3 < k,
             "av_safe": jnp.minimum(av3, k - 1),
-            "a_of_row": a_of_row, "a_of_new": a_of_new}
+            "a_of_row": a_of_row, "a_of_new": a_of_new,
+            "compact_bad": compact_bad}
 
 
 def _pre(ctx, deltas, utils):
@@ -436,6 +443,8 @@ def _pre(ctx, deltas, utils):
                     axis=2, dtype=jnp.int32)
     length = vp[..., 2] - n_clr + n_ins                    # [P, A]
     over_cap = jnp.any(arep & (length > r), axis=1)
+    if "compact_bad" in c:
+        over_cap = over_cap | c["compact_bad"]
 
     # --- kernel inputs: per-(neighbour, route) scalar columns [P, A] ---------
     def per_k_row(flag_k, val_k, a_k):
