@@ -23,7 +23,8 @@ class TabuSearch:
 
     def __init__(self, neighbours_count, tabu_entity_rate, compare_to_global,
                  mutation_rate_multiplier, move_probas, migration_frequency,
-                 termination_strategy):
+                 termination_strategy, sweep=False, sweep_targets=None,
+                 sweep_window=None):
         self.neighbours_count = int(neighbours_count)
         self.tabu_entity_rate = float(tabu_entity_rate)
         self.compare_to_global = bool(compare_to_global)
@@ -31,6 +32,14 @@ class TabuSearch:
         self.move_probas = move_probas
         self.migration_frequency = int(migration_frequency)
         self.termination_strategy = termination_strategy
+        # sweep-neighbourhood mode (model-provided dense value sweeps —
+        # `models/vrp/sweep.py`): per step, every candidate value for
+        # `sweep_targets` sampled stops is scored instead of
+        # `neighbours_count` random moves. Requires a model sweep module and
+        # unrounded scores; silently falls back otherwise.
+        self.sweep = bool(sweep)
+        self.sweep_targets = sweep_targets
+        self.sweep_window = sweep_window
         # local-search agents force population 1 / migration_rate 1.0
         # (`tabu_search.rs:68-71`)
         self.population_size = 1
@@ -42,6 +51,10 @@ class TabuSearch:
                                 self.mutation_rate_multiplier, self.move_probas)
         score_fn = base.make_score_fn(requester, score_precision)
         n = self.neighbours_count
+
+        if (self.sweep and score_precision is None
+                and requester.supports_sweep):
+            return self._build_sweep_kernel(requester, cfg, score_fn)
 
         if requester.supports_delta:
             # incremental mode (`tabu_search_base.rs:107-188` semantics): the
@@ -169,3 +182,70 @@ class TabuSearch:
             return state
 
         return base.MetaheuristicKernel(self, init_state, step)
+
+    def _build_sweep_kernel(self, requester, cfg, score_fn):
+        """Sweep-neighbourhood local search: dense value sweeps scored from
+        ctx cumulants (`models/vrp/sweep.py`), winner re-scored exactly and
+        accepted iff <= current — the reference's accept-best-neighbour
+        semantics (`tabu_search_base.rs:139-155`) over a ~30x larger,
+        value-structured neighbourhood. The winner materializes as a narrow
+        delta, so apply/ctx-update/tabu machinery is the int-delta path's."""
+        from greyjack_tpu.ops import selection
+
+        vm = requester.variables_manager
+        mod = requester.sweep_module
+        sweep_cfg = mod.SweepConfig(requester, self.sweep_targets,
+                                    self.sweep_window)
+        utils = requester._delta_utils()
+
+        def init_state(key):
+            population = vm.sample_variables(key, 1)
+            scores = score_fn(population)
+            state = base.base_state(population, scores)
+            state["tabu"] = cfg.init_tabu_state()
+            state["ctx"] = requester.build_base_ctx(population[0])
+            state["sweep_scored"] = jnp.zeros((), jnp.int64)
+            return state
+
+        def step(key, state, extras):
+            active = extras.get("_active", jnp.bool_(True))
+            free = extras.get("_free")
+            if free is None:
+                free = cfg.tabu_free(state["tabu"])
+            masks = cfg.tabu_masks(state["tabu"])
+            delta, exact, info, stats = mod.propose(
+                key, state["ctx"], free, masks, sweep_cfg, utils)
+            accept = lexico.lex_leq(
+                exact, jnp.zeros((exact.shape[-1],), exact.dtype)) & active
+            winner = {**delta, "valid": delta["valid"] & accept}
+            base_row = state["population"][0]
+            state = dict(state)
+            state["population"] = moves.apply_delta(base_row, winner)[None, :]
+            state["ctx"] = requester.update_ctx(state["ctx"], winner)
+            state["scores"] = jnp.where(
+                accept, requester.ctx_score_row(state["ctx"])[None, :],
+                state["scores"])
+            if cfg.use_tabu:
+                # the reference pushes touched ids during sampling
+                # (`mover.rs:75-96`) — push the winner's targets whether or
+                # not accepted, rotating sweep targets out of tabu
+                state["tabu"] = selection.tabu_push(
+                    state["tabu"], info["group"], info["positions"],
+                    jnp.where(active, info["count"], 0))
+            state["sweep_scored"] = state["sweep_scored"] + jnp.where(
+                active, stats["n_scored"], 0)
+            state = base.update_top(state)
+            state["step_id"] = state["step_id"] + active.astype(
+                state["step_id"].dtype)
+            return state
+
+        def refresh(state):
+            state = dict(state)
+            state["ctx"] = requester.build_base_ctx(state["population"][0])
+            return state
+
+        def prestep(batched_state):
+            return {"_free": cfg.tabu_free(batched_state["tabu"])}
+
+        return base.MetaheuristicKernel(self, init_state, step, refresh,
+                                        self_gating=True, prestep=prestep)

@@ -1116,9 +1116,10 @@ class CotwinBuilder(CotwinBuilderBase):
         if self.use_incremental_score_calculation and not self.exact_fp_scores:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
                                          update_ctx, ctx_score=ctx_score_row)
-            from greyjack_tpu.models.vrp import delta_pallas
+            from greyjack_tpu.models.vrp import delta_pallas, sweep
             calculator.set_delta_batch_kernel(
                 delta_pallas.score_delta_batch,
                 delta_pallas.score_delta_batch_ints)
+            calculator.set_sweep_module(sweep)
         cotwin.add_score_calculator(calculator)
         return cotwin

@@ -120,6 +120,7 @@ class IncrementalScoreCalculator(PlainScoreCalculator):
         self.delta_update_fn = None
         self.delta_ctx_score_fn = None
         self.delta_score_batch_ints_fn = None
+        self.sweep_module = None
 
     def set_delta_kernels(self, build_ctx, score_delta, update_ctx,
                           ctx_score=None):
@@ -149,6 +150,14 @@ class IncrementalScoreCalculator(PlainScoreCalculator):
         keep f64 (software-emulated on v5e) off the per-step hot path."""
         self.delta_score_batch_fn = score_delta_batch
         self.delta_score_batch_ints_fn = score_delta_batch_ints
+
+    def set_sweep_module(self, module):
+        """Optionally register a sweep-neighbourhood module (dense
+        value-sweep scoring; see `models/vrp/sweep.py`). The module exposes
+        `eligible(utils) -> bool` (static), `SweepConfig(requester, ...)`
+        and `propose(key, ctx, free, tabu_masks, cfg, utils)`; local-search
+        agents use it when present and eligible."""
+        self.sweep_module = module
 
     @property
     def has_delta_kernels(self):
