@@ -36,12 +36,21 @@ N_CUSTOMERS = int(os.environ.get("GJ_BENCH_CUSTOMERS", "1000"))
 N_DEPOTS = 8
 K_VEHICLES = 40
 N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "4"))
-# 4x4096 is the sweep's knee (SWEEP_r03.json: 1.394M vs 1.347M at 8x2048;
-# throughput is flat within ~3% from 4x4096 to 16x8192 — the pipeline is
+# 4x4096 is the geometry knee for the random-move path (SWEEP_r03.json:
+# throughput flat within ~3% from 4x4096 to 16x8192 — it is
 # per-move-work-bound, and fewer islands shave the island-vmap overhead)
 NEIGHBOURS = int(os.environ.get("GJ_BENCH_NEIGHBOURS", "4096"))
 CHUNK_STEPS = int(os.environ.get("GJ_BENCH_CHUNK_STEPS", "10"))
 TARGET_SECONDS = float(os.environ.get("GJ_BENCH_SECONDS", "20"))
+# sweep-neighbourhood mode (models/vrp/sweep.py): per island-step, score
+# every candidate value for SWEEP_TARGETS sampled stops (change + vehicle +
+# swap families) from route cumulants instead of NEIGHBOURS random moves.
+# Moves are counted with the CONSERVATIVE static lower bound
+# (`SweepConfig.conservative_moves_per_step`) so accounting never needs a
+# device read; the real count (incl. the vehicle family) is higher.
+SWEEP = os.environ.get("GJ_BENCH_SWEEP", "1") != "0"
+SWEEP_TARGETS = int(os.environ.get("GJ_SWEEP_TARGETS", "64"))
+TABU_RATE = 0.2
 
 
 def run():
@@ -70,10 +79,22 @@ def run():
     # feasible greedy solution (`cotwin_builder.rs:153-255`)
     cotwin = CotwinBuilder(True, True).build_cotwin(domain, False)
     req = ScoreRequester(cotwin)
-    agent = TabuSearch(NEIGHBOURS, 0.2, True, None,
+    agent = TabuSearch(NEIGHBOURS, TABU_RATE, True, None,
                        [0.5, 0.5, 0.0, 0.0, 0.0, 0.0], CHUNK_STEPS,
-                       StepsLimit(10**9))
+                       StepsLimit(10**9), sweep=SWEEP,
+                       sweep_targets=SWEEP_TARGETS)
     kernel = agent.build_kernel(req, None)
+    sweeping = SWEEP and req.supports_sweep
+    if sweeping:
+        from greyjack_tpu.models.vrp import sweep as sweep_mod
+        scfg = sweep_mod.SweepConfig(req, SWEEP_TARGETS, None)
+        moves_per_step = scfg.conservative_moves_per_step(
+            req._delta_utils(), TABU_RATE)
+        print(f"# sweep mode: {SWEEP_TARGETS} targets, "
+              f">={moves_per_step} moves/island-step (conservative)",
+              flush=True)
+    else:
+        moves_per_step = NEIGHBOURS
     runner = IslandRunner(kernel, n_islands=N_ISLANDS,
                           migration_frequency=CHUNK_STEPS)
     print(f"# setup {time.time()-t0:.1f}s on {jax.devices()[0].platform}",
@@ -89,7 +110,7 @@ def run():
     jax.block_until_ready(state)
     print(f"# compile+first chunk {time.time()-t0:.1f}s", flush=True)
 
-    moves_per_chunk = N_ISLANDS * NEIGHBOURS * CHUNK_STEPS
+    moves_per_chunk = N_ISLANDS * moves_per_step * CHUNK_STEPS
     chunks = 0
     t0 = time.time()
     while True:
@@ -118,24 +139,32 @@ def run():
 
 
 def main():
-    """Crash-proof driver entry: a failure anywhere on the default (Pallas)
-    path — compile OOM, Mosaic lowering regression, runtime fault — retries
-    the whole run on the pure-XLA path (`GJ_NO_PALLAS=1`, an eligibility
-    gate checked at trace time, `delta_pallas.py:eligible`). Round 2 died
-    for lack of exactly this fallback (VERDICT.md item 1)."""
-    try:
-        run()
-        return
-    except Exception as e:  # noqa: BLE001 - last-resort bench fallback
-        if os.environ.get("GJ_NO_PALLAS"):
-            raise  # already on the fallback path; nothing left to try
-        msg = str(e).replace("\n", " ")[:300]
-        print(f"# pallas path failed ({type(e).__name__}: {msg}); "
-              "retrying with GJ_NO_PALLAS=1", flush=True)
-    os.environ["GJ_NO_PALLAS"] = "1"
-    import jax
-    jax.clear_caches()  # drop jitted chunk programs traced with the kernel
-    run()
+    """Crash-proof driver entry: failures fall back through a ladder of
+    paths — sweep (default) -> random-move delta + Pallas -> pure XLA
+    (`GJ_NO_PALLAS=1`). Each rung is a trace-time static, so a crash
+    anywhere (compile OOM, Mosaic regression, runtime fault) retries on the
+    next-simpler program. Round 2 died for lack of exactly this fallback
+    (VERDICT round-2 item 1)."""
+    global SWEEP
+    fallbacks = [{}, {"sweep_off": True}, {"sweep_off": True,
+                                           "GJ_NO_PALLAS": "1"}]
+    for i, fb in enumerate(fallbacks):
+        try:
+            run()
+            return
+        except Exception as e:  # noqa: BLE001 - last-resort bench fallback
+            if i == len(fallbacks) - 1:
+                raise
+            nxt = fallbacks[i + 1]
+            msg = str(e).replace("\n", " ")[:300]
+            print(f"# bench path failed ({type(e).__name__}: {msg}); "
+                  f"retrying with {nxt}", flush=True)
+            if nxt.get("sweep_off"):
+                SWEEP = False
+            if nxt.get("GJ_NO_PALLAS"):
+                os.environ["GJ_NO_PALLAS"] = "1"
+            import jax
+            jax.clear_caches()  # drop programs traced with the old kernel
 
 
 if __name__ == "__main__":

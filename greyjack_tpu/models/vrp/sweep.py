@@ -92,7 +92,8 @@ class SweepConfig:
         cust_vars = np.asarray(schema["var_ids_np"]["customer_id"], np.int32)
         veh_vars = np.asarray(schema["var_ids_np"]["vehicle_id"], np.int32)
         self.n_rows = len(cust_vars)
-        frozen = np.asarray(vm.frozen_mask)
+        frozen = vm.frozen_mask_np  # host copy — never read device arrays
+        # at build time (first device->host transfer is minutes on tunnels)
         self.frozen_cust_np = frozen[cust_vars]
         self.frozen_veh_np = frozen[veh_vars]
         self.cust_var = jnp.asarray(cust_vars)
@@ -105,7 +106,7 @@ class SweepConfig:
         self.g_cust = keys.index("customer_assignment")
         self.g_veh = keys.index("vehicle_assignment")
         # group slot <-> stop row maps (group members exclude frozen vars)
-        members = np.asarray(vm.group_members)
+        members = vm.group_members_np
         var_row = np.zeros(vm.variables_count, np.int32)
         var_row[cust_vars] = np.arange(self.n_rows, dtype=np.int32)
         var_row[veh_vars] = np.arange(self.n_rows, dtype=np.int32)

@@ -67,6 +67,8 @@ class VariablesManager:
         self.bounds_pack = jnp.stack(
             [self.lower_bounds, self.upper_bounds,
              self.discrete_mask.astype(self.float_dtype)], axis=-1)
+        # host copy kept: device reads are minutes-slow on tunneled backends
+        self.frozen_mask_np = frozen
         self.frozen_mask = jnp.asarray(frozen)
         self.has_initial_mask = jnp.asarray(has_initial)
         self.initial_values = jnp.asarray(initial, dtype=self.float_dtype)
@@ -92,6 +94,7 @@ class VariablesManager:
         # tunneled backends)
         self.group_sizes_np = sizes if len(sizes) else np.zeros(1, np.int32)
         self.group_sizes = jnp.asarray(self.group_sizes_np)
+        self.group_members_np = members
         self.group_members = jnp.asarray(members)
         self.max_group_size = lmax
         # packed per-(group, slot) sampler table (member id, lower, upper,
