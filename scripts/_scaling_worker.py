@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--chunk-steps", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=15.0)
     ap.add_argument("--customers", type=int, default=200)
+    ap.add_argument("--depots", type=int, default=4)
+    ap.add_argument("--vehicles", type=int, default=10)
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep-neighbourhood TabuSearch (flagship path)")
+    ap.add_argument("--sweep-targets", type=int, default=16)
     ap.add_argument("--mesh", action="store_true",
                     help="shard islands over all devices via shard_map")
     ap.add_argument("--coordinator", default=None)
@@ -53,14 +58,22 @@ def main():
     elif args.mesh:
         mesh = make_island_mesh()
 
-    domain = generate_instance(args.customers, 4, 10, seed=11,
-                               time_windowed=True)
+    domain = generate_instance(args.customers, args.depots, args.vehicles,
+                               seed=11, time_windowed=True)
     cotwin = CotwinBuilder(True, True).build_cotwin(domain, False)
     req = ScoreRequester(cotwin)
     agent = TabuSearch(args.neighbours, 0.2, True, None,
                        [0.5, 0.5, 0.0, 0.0, 0.0, 0.0], args.chunk_steps,
-                       StepsLimit(10**9))
+                       StepsLimit(10**9), sweep=args.sweep,
+                       sweep_targets=args.sweep_targets)
     kernel = agent.build_kernel(req, None)
+    if args.sweep:
+        from greyjack_tpu.models.vrp import sweep as sweep_mod
+        scfg = sweep_mod.SweepConfig(req, args.sweep_targets, None)
+        moves_per_step = scfg.conservative_moves_per_step(
+            req._delta_utils(), 0.2)
+    else:
+        moves_per_step = args.neighbours
     runner = IslandRunner(kernel, n_islands=args.islands,
                           migration_frequency=args.chunk_steps, mesh=mesh)
     state = runner.init(jax.random.key(0))
@@ -72,7 +85,7 @@ def main():
     jax.block_until_ready(state)
     compile_s = time.time() - t0
 
-    moves_per_chunk = args.islands * args.neighbours * args.chunk_steps
+    moves_per_chunk = args.islands * moves_per_step * args.chunk_steps
     chunks = 0
     t0 = time.time()
     while True:

@@ -86,6 +86,43 @@ def run_two_proc(islands, seconds, neighbours):
     return _parse(outs[0])
 
 
+def run_nproc_flagship(nproc, islands_per_proc, seconds, targets,
+                       distributed, customers=1000, depots=8, vehicles=40):
+    """N concurrent flagship sweep workers, 2 per core (the 4-host stand-in
+    on a 2-core host). `distributed=False` runs them INDEPENDENTLY at the
+    same core oversubscription — the denominator that isolates collective/
+    coordination overhead from CPU contention. Returns summed moves/s."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    procs = []
+    for pid in range(nproc):
+        cmd = ["taskset", "-c", str(pid % 2), sys.executable, WORKER,
+               "--islands", str(islands_per_proc), "--seconds", str(seconds),
+               "--neighbours", "64", "--sweep",
+               "--sweep-targets", str(targets),
+               "--customers", str(customers), "--depots", str(depots),
+               "--vehicles", str(vehicles)]
+        if distributed:
+            cmd += ["--coordinator", coordinator,
+                    "--num-processes", str(nproc), "--process-id", str(pid)]
+            cmd[6] = str(islands_per_proc * nproc)  # global island count
+        procs.append(subprocess.Popen(cmd, env=_env(1),
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=2400)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    recs = [_parse(o) for o in outs]
+    if distributed:
+        # global program: every process reports the global moves/s
+        return recs[0], recs
+    return {"moves_per_s": round(sum(r["moves_per_s"] for r in recs), 1)}, \
+        recs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING_r03.json")
@@ -102,6 +139,14 @@ def main():
     print("ici2:", ici, flush=True)
     dcn = run_two_proc(2 * ipd, args.seconds, args.neighbours)
     print("dcn2:", dcn, flush=True)
+    # 4-process flagship (n=1000, sweep path) — VERDICT r3 item 8. The
+    # denominator runs the SAME 4 workers independently at the same 2-per-
+    # core oversubscription, so the ratio isolates jax.distributed +
+    # collective overhead from raw CPU contention (this host has 2 cores).
+    ind4, _ = run_nproc_flagship(4, ipd, args.seconds, 16, False)
+    print("indep4:", ind4, flush=True)
+    dcn4, _ = run_nproc_flagship(4, ipd, args.seconds, 16, True)
+    print("dcn4:", dcn4, flush=True)
 
     rec = {
         "workload": ("flagship VRP delta chunk, synthetic-tw-d4-n200-k10, "
@@ -114,6 +159,10 @@ def main():
             ici["moves_per_s"] / (2 * base["moves_per_s"]), 3),
         "efficiency_dcn_2proc": round(
             dcn["moves_per_s"] / (2 * base["moves_per_s"]), 3),
+        "flagship_sweep_indep_4proc": ind4,
+        "flagship_sweep_dcn_4proc": dcn4,
+        "efficiency_dcn_4proc_vs_indep": round(
+            dcn4["moves_per_s"] / ind4["moves_per_s"], 3),
         "wall_s": round(time.time() - t0, 1),
         "note": ("CPU stand-in for the 4-host TPU measurement (one real "
                  "chip available); shard_map/ppermute code path is "
