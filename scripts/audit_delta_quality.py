@@ -26,13 +26,17 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-N, D, K = (int(os.environ.get("GJ_AUDIT_N", "200")), 3, 10)
+N = int(os.environ.get("GJ_AUDIT_N", "200"))
+D = int(os.environ.get("GJ_AUDIT_D", "3"))
+K = int(os.environ.get("GJ_AUDIT_K", "10"))
 STEPS = int(os.environ.get("GJ_AUDIT_STEPS", "300"))
 NEIGHBOURS = int(os.environ.get("GJ_AUDIT_NEIGHBOURS", "256"))
 SEEDS = [int(s) for s in os.environ.get("GJ_AUDIT_SEEDS",
                                         "11,23,42").split(",")]
-# insertion/inverse-heavy: the moves whose windows the delta path caps
-PROBAS = [0.2, 0.2, 0.0, 0.0, 0.3, 0.3]
+# default: insertion/inverse-heavy (the moves whose windows the delta path
+# caps); GJ_AUDIT_PROBAS overrides, e.g. all six for the flagship audit
+PROBAS = [float(x) for x in os.environ.get(
+    "GJ_AUDIT_PROBAS", "0.2,0.2,0,0,0.3,0.3").split(",")]
 
 
 def run(mode_incremental, seed):
