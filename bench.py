@@ -35,7 +35,7 @@ if os.path.exists(_baseline_file):
 N_CUSTOMERS = int(os.environ.get("GJ_BENCH_CUSTOMERS", "1000"))
 N_DEPOTS = 8
 K_VEHICLES = 40
-N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "4"))
+N_ISLANDS = int(os.environ.get("GJ_BENCH_ISLANDS", "8"))
 # 4x4096 is the geometry knee for the random-move path (SWEEP_r03.json:
 # throughput flat within ~3% from 4x4096 to 16x8192 — it is
 # per-move-work-bound, and fewer islands shave the island-vmap overhead)
@@ -49,7 +49,8 @@ TARGET_SECONDS = float(os.environ.get("GJ_BENCH_SECONDS", "20"))
 # (`SweepConfig.conservative_moves_per_step`) so accounting never needs a
 # device read; the real count (incl. the vehicle family) is higher.
 SWEEP = os.environ.get("GJ_BENCH_SWEEP", "1") != "0"
-SWEEP_TARGETS = int(os.environ.get("GJ_SWEEP_TARGETS", "64"))
+# 8 islands x 256 targets is the measured knee (DESIGN.md round-4 table)
+SWEEP_TARGETS = int(os.environ.get("GJ_SWEEP_TARGETS", "256"))
 TABU_RATE = 0.2
 
 
@@ -130,6 +131,13 @@ def run():
         # (minutes); the score read is opt-in for local/CPU runs
         best = np.asarray(state["global_score"])
         print(f"# best score {best.tolist()}", flush=True)
+        if sweeping:
+            # exact device-side candidate counter (incl. the vehicle family
+            # the conservative accounting omits)
+            exact_moves = int(np.asarray(
+                state["islands"]["sweep_scored"]).sum())
+            print(f"# exact scored-move counter {exact_moves} "
+                  f"(counted {(chunks + 1) * moves_per_chunk})", flush=True)
     print(json.dumps({
         "metric": "vrp_scored_moves_per_s",
         "value": round(throughput, 1),

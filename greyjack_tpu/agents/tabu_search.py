@@ -205,6 +205,9 @@ class TabuSearch:
             state["tabu"] = cfg.init_tabu_state()
             state["ctx"] = requester.build_base_ctx(population[0])
             state["sweep_scored"] = jnp.zeros((), jnp.int64)
+            # candidates whose lateness was a bound, not exact (audit
+            # visibility for the sweep's exactness contract)
+            state["sweep_nonconv"] = jnp.zeros((), jnp.int64)
             return state
 
         def step(key, state, extras):
@@ -234,6 +237,8 @@ class TabuSearch:
                     jnp.where(active, info["count"], 0))
             state["sweep_scored"] = state["sweep_scored"] + jnp.where(
                 active, stats["n_scored"], 0)
+            state["sweep_nonconv"] = state["sweep_nonconv"] + jnp.where(
+                active, stats["n_nonconv"], 0)
             state = base.update_top(state)
             state["step_id"] = state["step_id"] + active.astype(
                 state["step_id"].dtype)

@@ -152,9 +152,13 @@ def run_tpu(domain, seconds, islands, chunk_steps, sweep_targets, seed=37,
     jax.block_until_ready(state)
     row = np.asarray(state["global_score"])
     scored = int(np.asarray(state["islands"]["sweep_scored"]).sum())
+    nonconv = int(np.asarray(state["islands"]["sweep_nonconv"]).sum())
     final = {"t": round(time.time() - t0, 2), "hard": int(row[0]),
              "late": int(row[1]), "dist_milli": int(round(row[2] * 1000.0)),
-             "scored_moves": scored, "islands": islands,
+             "scored_moves": scored,
+             "lateness_bound_fraction": (round(nonconv / scored, 6)
+                                         if scored else None),
+             "islands": islands,
              "sweep_targets": sweep_targets,
              "wall_seconds": {"setup": round(setup_s, 1),
                               "compile": round(compile_s, 1),
