@@ -48,13 +48,20 @@ class LateAcceptance:
 
     def __init__(self, late_acceptance_size, tabu_entity_rate,
                  mutation_rate_multiplier, move_probas, migration_frequency,
-                 termination_strategy):
+                 termination_strategy, sweep=False, sweep_targets=None,
+                 sweep_window=None):
         self.late_acceptance_size = int(late_acceptance_size)
         self.tabu_entity_rate = float(tabu_entity_rate)
         self.mutation_rate_multiplier = mutation_rate_multiplier
         self.move_probas = move_probas
         self.migration_frequency = int(migration_frequency)
         self.termination_strategy = termination_strategy
+        # sweep-neighbourhood mode (see TabuSearch): the per-step candidate
+        # is the sweep winner instead of ONE random move — a deliberately
+        # stronger proposal under the same late-acceptance rule
+        self.sweep = bool(sweep)
+        self.sweep_targets = sweep_targets
+        self.sweep_window = sweep_window
         self.population_size = 1
         self.migration_rate = 1.0
 
@@ -64,6 +71,10 @@ class LateAcceptance:
                                 self.mutation_rate_multiplier, self.move_probas)
         score_fn = base.make_score_fn(requester, score_precision)
         s = requester.score_size
+
+        if (self.sweep and score_precision is None
+                and requester.supports_sweep):
+            return self._build_sweep_kernel(requester, cfg, score_fn, s)
 
         if requester.supports_delta:
             # incremental mode: one O(K) delta per step against the ctx in
@@ -145,3 +156,74 @@ class LateAcceptance:
             return state
 
         return base.MetaheuristicKernel(self, init_state, step)
+
+    def _build_sweep_kernel(self, requester, cfg, score_fn, s):
+        """Late acceptance over sweep-winner proposals: the candidate each
+        step is the best of the dense value sweeps (`models/vrp/sweep.py`),
+        accepted iff <= the ring's oldest entry OR <= the current best —
+        the reference rule (`late_acceptance_base.rs:143-186`) over a
+        stronger proposal distribution (documented divergence)."""
+        from greyjack_tpu.ops import selection
+
+        vm = requester.variables_manager
+        mod = requester.sweep_module
+        sweep_cfg = mod.SweepConfig(requester, self.sweep_targets,
+                                    self.sweep_window)
+        utils = requester._delta_utils()
+
+        def init_state(key):
+            population = vm.sample_variables(key, 1)
+            scores = score_fn(population)
+            state = base.base_state(population, scores)
+            state["tabu"] = cfg.init_tabu_state()
+            state["late"] = ring_init(self.late_acceptance_size, s)
+            state["ctx"] = requester.build_base_ctx(population[0])
+            state["sweep_scored"] = jnp.zeros((), jnp.int64)
+            state["sweep_nonconv"] = jnp.zeros((), jnp.int64)
+            return state
+
+        def step(key, state, extras):
+            active = extras.get("_active", jnp.bool_(True))
+            free = extras.get("_free")
+            if free is None:
+                free = cfg.tabu_free(state["tabu"])
+            masks = cfg.tabu_masks(state["tabu"])
+            delta, exact, info, stats = mod.propose(
+                key, state["ctx"], free, masks, sweep_cfg, utils)
+            cand_score = mod.exact_score_row(state["ctx"], exact, utils)
+            compare_to = ring_oldest(state["late"], state["scores"][0])
+            accept = (lexico.lex_leq(cand_score, compare_to)
+                      | lexico.lex_leq(cand_score, state["scores"][0])) \
+                & active & (exact[0] != jnp.iinfo(jnp.int32).max)
+            winner = {**delta, "valid": delta["valid"] & accept}
+            base_row = state["population"][0]
+            state = dict(state)
+            state["late"] = ring_push_front(state["late"], cand_score,
+                                            accept)
+            state["population"] = moves.apply_delta(base_row, winner)[None, :]
+            state["ctx"] = requester.update_ctx(state["ctx"], winner)
+            state["scores"] = jnp.where(accept, cand_score[None, :],
+                                        state["scores"])
+            if cfg.use_tabu:
+                state["tabu"] = selection.tabu_push(
+                    state["tabu"], info["group"], info["positions"],
+                    jnp.where(active, info["count"], 0))
+            state["sweep_scored"] = state["sweep_scored"] + jnp.where(
+                active, stats["n_scored"], 0)
+            state["sweep_nonconv"] = state["sweep_nonconv"] + jnp.where(
+                active, stats["n_nonconv"], 0)
+            state = base.update_top(state)
+            state["step_id"] = state["step_id"] + active.astype(
+                state["step_id"].dtype)
+            return state
+
+        def refresh(state):
+            state = dict(state)
+            state["ctx"] = requester.build_base_ctx(state["population"][0])
+            return state
+
+        def prestep(batched_state):
+            return {"_free": cfg.tabu_free(batched_state["tabu"])}
+
+        return base.MetaheuristicKernel(self, init_state, step, refresh,
+                                        self_gating=True, prestep=prestep)

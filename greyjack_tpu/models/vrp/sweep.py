@@ -136,7 +136,7 @@ class SweepConfig:
         partners (frozen + tabu capacity + one full route), and the
         vehicle-sweep as zero."""
         n = self.n_rows
-        lc = utils["n_stops"]
+        lc = utils["n_stops"] - 1          # the no-op candidate is excluded
         frozen = int(self.frozen_cust_np.sum())
         tabu_cap = int(np.ceil(tabu_rate * max(1, n - frozen)))
         swap_lb = max(0, n - frozen - tabu_cap - utils["route_cap"] - 1)
@@ -430,7 +430,13 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
         a_late = jnp.zeros((t, lc), jnp.int32)
         conv_a = jnp.ones((t, lc), bool)
     a_hard = 1000 * a_dups + a_over
-    a_valid = jnp.broadcast_to(t_valid[:, None], (t, lc))
+    # exclude the no-op candidate (c == current customer): it ties every
+    # real sideways move at exactly 0 and wins by index order, freezing the
+    # search at local optima — with it excluded, 0-delta REAL moves walk
+    # plateaus and strictly-worse sweeps are honestly rejected (measured in
+    # the r4 quality race: the no-op-winner stagnation lost the non-tw
+    # n=1000 race leg by 1.9%)
+    a_valid = t_valid[:, None] & ~same
 
     # =================== family B: vehicle-sweep [T, K] =====================
     # removal side (exact, [T, R] suffix grid on the target's route)
@@ -571,6 +577,7 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
               - _relu(stbl[:, 18] - stbl[:, 19])[None, :])
     c_valid = (t_valid[:, None]
                & (s_v[None, :] != t_v[:, None])
+               & (s_c[None, :] != t_c[:, None])  # equal-value swap = no-op
                & ~cfg.frozen_cust[None, :]
                & ~row_tabu[None, :])
     c_hard = c_over
@@ -695,3 +702,20 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils):
                  + jnp.sum(sc["c_valid"] & ~sc["c_conv"], dtype=jnp.int64))
     stats = {"n_scored": n_scored, "n_nonconv": n_nonconv}
     return delta, exact, info, stats
+
+
+def exact_score_row(ctx, exact_ints, utils):
+    """f64[3] score row of the winner candidate, computed exactly from the
+    ctx's integer sums + the winner's exact integer deltas (bit-equal to
+    `ctx_score_row` of the post-accept ctx). Stub row when the winner is
+    stubbed. Used by acceptance rules that compare against stored f64
+    scores (LateAcceptance's ring)."""
+    from greyjack_tpu.ops import lexico
+    hard = (1000.0 * ctx["dups"].astype(jnp.float64)
+            + ctx["sum_overflow"].astype(jnp.float64)
+            + exact_ints[0].astype(jnp.float64))
+    medium = (ctx["sum_late"] + exact_ints[1]).astype(jnp.float64)
+    soft = (ctx["sum_dist"] + exact_ints[2]).astype(jnp.float64) / 1000.0
+    row = jnp.stack([hard, medium, soft])
+    bad = (exact_ints[0] == _STUB) | ctx["base_over"]
+    return jnp.where(bad, lexico.stub_score_row(3), row)

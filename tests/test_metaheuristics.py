@@ -137,3 +137,32 @@ def test_steps_left_budget_freezes_islands():
                              steps_left=jnp.asarray([6, 2, 0], jnp.int32))
     steps = np.asarray(state["islands"]["step_id"])
     assert steps.tolist() == [6, 2, 0]
+
+
+def test_frozen_island_scores_bit_stable():
+    # ADVICE r3: an island inactive from its very FIRST delta step must keep
+    # its init score (from score_fn) bit-for-bit — the int path's ctx-derived
+    # score write is guarded by `accept` exactly like the float path's
+    import jax
+    import jax.numpy as jnp
+    from greyjack_tpu.models.vrp import CotwinBuilder, generate_instance
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+    from greyjack_tpu.parallel import IslandRunner
+    from greyjack_tpu.agents import TabuSearch
+
+    domain = generate_instance(20, 2, 4, seed=5, time_windowed=True)
+    cotwin = CotwinBuilder(True, True).build_cotwin(domain, False)
+    req = ScoreRequester(cotwin)
+    agent = TabuSearch(16, 0.2, True, None, SWAP_ONLY, 4, StepsLimit(100))
+    kernel = agent.build_kernel(req, None)
+    assert kernel.self_gating
+    state = kernel.init_state(jax.random.key(0))
+    s0 = np.asarray(state["scores"]).copy()
+    p0 = np.asarray(state["population"]).copy()
+    # three inactive steps straight from init: every write must be identity
+    for i in range(3):
+        state = kernel.step(jax.random.key(i), state,
+                            {"_active": jnp.bool_(False)})
+    np.testing.assert_array_equal(np.asarray(state["scores"]), s0)
+    np.testing.assert_array_equal(np.asarray(state["population"]), p0)
+    assert int(state["step_id"]) == 0

