@@ -231,6 +231,7 @@ def main():
             # analogs of the reference's belgium anchors (main.rs:36-37);
             # see BASELINE.md for the published optimum/first-fit ratios
             (1000, 8, 40, args.seconds, 8, 10, 64, 37, True),
+            (1000, 8, 40, args.seconds, 8, 10, 64, 91, True),  # repeat seed
             (500, 5, 20, args.seconds, 8, 10, 64, 37, True),
             (1000, 8, 40, args.seconds, 8, 10, 64, 37, False),
         ]
