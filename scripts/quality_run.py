@@ -45,9 +45,18 @@ def run_instance(n_customers, n_depots, k_vehicles, seconds, islands,
     cotwin = CotwinBuilder(True, True).build_cotwin(domain, False)
     req = ScoreRequester(cotwin)
 
-    # greedy first-fit anchor: score the initial (greedy) chromosome itself
+    # greedy first-fit anchor: score the initial (greedy) chromosome itself.
+    # The np.asarray read is the process's FIRST device->host transfer —
+    # minutes-slow on the tunneled axon backend and NOT framework setup
+    # cost (r3's "142.6s setup" was almost entirely this transfer) — so it
+    # is timed separately.
     init_row = req.variables_manager.initial_values[None, :]
-    first_fit_row = np.asarray(req.request_score_plain(init_row))[0]
+    first_fit_dev = req.request_score_plain(init_row)
+    import jax as _jax
+    _jax.block_until_ready(first_fit_dev)
+    t_read = time.time()
+    first_fit_row = np.asarray(first_fit_dev)[0]
+    first_read_s = time.time() - t_read
 
     agent = TabuSearch(neighbours, 0.2, True, None,
                        [0.5, 0.5, 0.0, 0.0, 0.0, 0.0], chunk_steps,
@@ -100,8 +109,12 @@ def run_instance(n_customers, n_depots, k_vehicles, seconds, islands,
         # quality evidence on tw instances.
         "first_fit_medium_late": (float(first_fit_row[1])
                                   if first_fit_row.shape[0] > 2 else None),
-        "reference_anchor_ratio_optimum_over_first_fit": anchor_ratio,
-        "wall_seconds": {"setup": round(setup_s, 1),
+        # (the belgium optimum/first-fit anchor field was dropped in r4:
+        # a real-instance anchor against a synthetic instance is apples to
+        # oranges — head-to-head evidence lives in QUALITY_r04.json, which
+        # races the actual reference algorithm on the SAME instance)
+        "wall_seconds": {"setup": round(setup_s - first_read_s, 1),
+                         "first_device_read": round(first_read_s, 1),
                          "compile": round(compile_s, 1),
                          "solve": round(solve_s, 1)},
         "scored_moves": moves,
