@@ -40,6 +40,13 @@ class TabuSearch:
         self.sweep = bool(sweep)
         self.sweep_targets = sweep_targets
         self.sweep_window = sweep_window
+        # classic-TS escape hatch for the sweep mode: after `stall_limit`
+        # steps without a NEW BEST, the best candidate is accepted even when
+        # worse (move-to-best-non-tabu-neighbour, the textbook tabu-search
+        # rule); hill-climb acceptance resumes on a new best. Best-improve
+        # sweeps otherwise freeze at their first deep local optimum
+        # (measured: the non-tw n=1000 race leg plateaued within 0.5s)
+        self.sweep_stall_limit = 32
         # local-search agents force population 1 / migration_rate 1.0
         # (`tabu_search.rs:68-71`)
         self.population_size = 1
@@ -208,6 +215,7 @@ class TabuSearch:
             # candidates whose lateness was a bound, not exact (audit
             # visibility for the sweep's exactness contract)
             state["sweep_nonconv"] = jnp.zeros((), jnp.int64)
+            state["sweep_stall"] = jnp.zeros((), jnp.int32)
             return state
 
         def step(key, state, extras):
@@ -218,16 +226,23 @@ class TabuSearch:
             masks = cfg.tabu_masks(state["tabu"])
             delta, exact, info, stats = mod.propose(
                 key, state["ctx"], free, masks, sweep_cfg, utils)
-            accept = lexico.lex_leq(
-                exact, jnp.zeros((exact.shape[-1],), exact.dtype)) & active
+            stub = jnp.iinfo(exact.dtype).max
+            forced = state["sweep_stall"] >= self.sweep_stall_limit
+            accept = (lexico.lex_leq(
+                exact, jnp.zeros((exact.shape[-1],), exact.dtype)) | forced) \
+                & active & (exact[0] != stub)
             winner = {**delta, "valid": delta["valid"] & accept}
             base_row = state["population"][0]
             state = dict(state)
             state["population"] = moves.apply_delta(base_row, winner)[None, :]
             state["ctx"] = requester.update_ctx(state["ctx"], winner)
+            new_score = requester.ctx_score_row(state["ctx"])
+            new_best = lexico.lex_less(new_score, state["top_score"]) & accept
+            state["sweep_stall"] = jnp.where(
+                active, jnp.where(new_best, 0, state["sweep_stall"] + 1),
+                state["sweep_stall"])
             state["scores"] = jnp.where(
-                accept, requester.ctx_score_row(state["ctx"])[None, :],
-                state["scores"])
+                accept, new_score[None, :], state["scores"])
             if cfg.use_tabu:
                 # the reference pushes touched ids during sampling
                 # (`mover.rs:75-96`) — push the winner's targets whether or
