@@ -157,25 +157,54 @@ def _shift_left(x, s, fill):
     return jnp.concatenate([x[..., s:], pad], axis=-1)
 
 
-def build_tables(ctx, cfg: SweepConfig, utils):
-    """Per-position route cumulants, packed as one stop-indexed table
-    S[N, 20+4W] (scatter by r_stop — one cheap scatter, no gathers) plus
-    [K, R] insertion-anchor grids for the vehicle-sweep."""
-    w = cfg.window
+def _route_view(ctx, veh_sel):
+    """[A, R] slices of the ctx route grids + [A]-shaped vehicle scalars for
+    the selected vehicle ids (None = all K). Selection uses masked reduces,
+    not gathers (each XLA:TPU gather op carries a large fixed cost); ids
+    out of range [0, K) yield all-sentinel rows that downstream scatters
+    drop."""
+    grids = ("r_stop", "r_ct", "r_floor", "r_ce", "r_c", "r_leg")
+    if veh_sel is None:
+        view = {g: ctx[g] for g in grids}
+        view["vp"] = ctx["veh_pack"]
+        view["len"] = ctx["len"].astype(jnp.int32)
+        return view
+    kk = ctx["r_stop"].shape[0]
     n = ctx["v"].shape[0]
-    kk, r = ctx["r_stop"].shape
+    m = jnp.arange(kk, dtype=jnp.int32)[None, :] == veh_sel[:, None]  # [A, K]
+    any_m = jnp.any(m, axis=1)
+
+    def red(x):                                     # [K, ...] -> [A, ...]
+        mm = m.reshape(m.shape + (1,) * (x.ndim - 1))
+        return jnp.sum(jnp.where(mm, x[None], 0), axis=1, dtype=x.dtype)
+
+    view = {g: red(ctx[g]) for g in grids}
+    # unmatched selections must scatter nowhere: force sentinel stop ids
+    view["r_stop"] = jnp.where(any_m[:, None], view["r_stop"], n)
+    view["vp"] = red(ctx["veh_pack"])
+    view["len"] = red(ctx["len"].astype(jnp.int32))
+    return view
+
+
+def _tables_core(view, cfg: SweepConfig, utils, n):
+    """Cumulant arrays for the viewed routes: the packed per-stop grid rows
+    [A*R, C] (C = 20 + 4W) plus the [A, R]/[A] route arrays the
+    vehicle-sweep needs. Pure function of the view — `build_tables` runs it
+    over all K routes, `patch_tables` over the <=2 routes an accepted move
+    touched."""
+    w = cfg.window
+    kk, r = view["r_stop"].shape
     tw = bool(utils["time_windowed"])
     dm = cfg.dm
-    l = utils["n_locations"]
 
-    valid = ctx["r_stop"] < n
-    len_k = ctx["len"].astype(jnp.int32)
+    valid = view["r_stop"] < n
+    len_k = view["len"]
     iota_r = jnp.arange(r, dtype=jnp.int32)[None, :]
-    w0 = ctx["veh_pack"][:, 0:1]
-    w1 = ctx["veh_pack"][:, 1]
-    ct = jnp.where(valid, ctx["r_ct"], 0)
-    fl = jnp.where(valid, ctx["r_floor"], -_BIG)
-    ce = ctx["r_ce"]
+    w0 = view["vp"][:, 0:1]
+    w1 = view["vp"][:, 1]
+    ct = jnp.where(valid, view["r_ct"], 0)
+    fl = jnp.where(valid, view["r_floor"], -_BIG)
+    ce = view["r_ce"]
     p_arr = jnp.cumsum(ct, axis=1)
     d_arr = fl - p_arr
     if tw:
@@ -189,22 +218,26 @@ def build_tables(ctx, cfg: SweepConfig, utils):
         ot = jnp.zeros((kk,), jnp.int32)
     e_arr = p_arr - ce
 
-    # anchor grids [K, R]: value at a = state *entering* slot a
+    # anchor grids [A, R]: value at a = state *entering* slot a
     pprev = jnp.concatenate([jnp.zeros((kk, 1), jnp.int32), p_arr[:, :-1]],
                             axis=1)
     postprev = jnp.concatenate([jnp.broadcast_to(w0, (kk, 1)),
                                 post[:, :-1]], axis=1)
 
-    depots = ctx["veh_pack"][:, 7]
-    c_g = ctx["r_c"]
+    depots = view["vp"][:, 7]
+    c_g = view["r_c"]
     first_c = c_g[:, 0]
-    startleg = jnp.where(len_k > 0, dm[depots, first_c], 0)
     last_onehot = iota_r == (len_k[:, None] - 1)
     last_c = jnp.sum(jnp.where(last_onehot, c_g, 0), axis=1)
-    endleg = jnp.where(len_k > 0, dm[last_c, depots], 0)
+    # ONE consolidated flat-dm gather for the 2A depot legs
+    dmf = utils["dm_flat_milli"]
+    l = utils["n_locations"]
+    legs2 = dmf[jnp.concatenate([depots * l + first_c, last_c * l + depots])]
+    startleg = jnp.where(len_k > 0, legs2[:kk], 0)
+    endleg = jnp.where(len_k > 0, legs2[kk:], 0)
 
     # per-stop in/out legs incl depot boundary legs
-    r_leg = ctx["r_leg"]
+    r_leg = view["r_leg"]
     inleg = jnp.where(iota_r == 0, startleg[:, None],
                       jnp.concatenate([jnp.zeros((kk, 1), jnp.int32),
                                        r_leg[:, :-1]], axis=1))
@@ -227,12 +260,14 @@ def build_tables(ctx, cfg: SweepConfig, utils):
         lsh.append(_shift_left(late, j + 1, 0))
         psh.append(_shift_left(p_arr, j + 1, 0))
 
+    veh_col = jnp.broadcast_to(view.get("veh_ids",
+                                        jnp.arange(kk, dtype=jnp.int32))
+                               [:, None], (kk, r))
     cols = [
-        jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32)[:, None],
-                         (kk, r)),               # v
+        veh_col,                                # v
         c_g,                                    # c
         jnp.broadcast_to(iota_r, (kk, r)),      # pos
-        0 * c_g,                                # dem (filled below)
+        0 * c_g,                                # dem (filled by caller)
         ct, fl, ce,
         postprev, p_arr, late,
         post - p_arr,                           # u0 of suffix anchor slot+1
@@ -240,16 +275,12 @@ def build_tables(ctx, cfg: SweepConfig, utils):
         jnp.broadcast_to(len_k[:, None], (kk, r)),
         jnp.broadcast_to(w1[:, None], (kk, r)),
         jnp.broadcast_to(ot[:, None], (kk, r)),
-        jnp.broadcast_to(ctx["veh_pack"][:, 5:6], (kk, r)),   # load
-        jnp.broadcast_to(ctx["veh_pack"][:, 6:7], (kk, r)),   # cap
+        jnp.broadcast_to(view["vp"][:, 5:6], (kk, r)),   # load
+        jnp.broadcast_to(view["vp"][:, 6:7], (kk, r)),   # cap
     ] + wsh + esh + lsh + psh
     grid = jnp.stack(cols, axis=-1).reshape(kk * r, len(cols))
-    stop_tbl = jnp.zeros((n, len(cols)), jnp.int32).at[
-        ctx["r_stop"].reshape(-1)].set(grid, mode="drop")
-    # dem column from cust_packed (constant per customer, not per slot)
-    stop_tbl = stop_tbl.at[:, 3].set(utils["cust_packed"][ctx["c"], 0])
 
-    # vehicle-sweep insertion grids [K, R]: value at insertion rank a
+    # vehicle-sweep insertion grids [A, R]: value at insertion rank a
     gapleg = jnp.where(
         iota_r == 0,
         startleg[:, None],
@@ -264,6 +295,50 @@ def build_tables(ctx, cfg: SweepConfig, utils):
              "pprev": pprev, "postprev": postprev,
              "gapleg": gapleg, "pcand": pcand, "ncand": ncand,
              "depots": depots}
+    return grid, route
+
+
+def build_tables(ctx, cfg: SweepConfig, utils):
+    """Per-position route cumulants, packed as one stop-indexed table
+    S[N, 20+4W] (scatter by r_stop — one cheap scatter, no gathers) plus
+    [K, R] insertion-anchor grids for the vehicle-sweep."""
+    n = ctx["v"].shape[0]
+    view = _route_view(ctx, None)
+    grid, route = _tables_core(view, cfg, utils, n)
+    stop_tbl = jnp.zeros((n, grid.shape[1]), jnp.int32).at[
+        ctx["r_stop"].reshape(-1)].set(grid, mode="drop")
+    # dem column from cust_packed (constant per customer, not per slot)
+    stop_tbl = stop_tbl.at[:, 3].set(utils["cust_packed"][ctx["c"], 0])
+    return stop_tbl, route
+
+
+def patch_tables(tables, ctx, av2, cfg: SweepConfig, utils):
+    """Incrementally update (stop_tbl, route) after `update_ctx`: only the
+    <=2 routes in `av2` (i32[2] vehicle ids; out-of-range = no-op slot)
+    are recomputed and merged — bit-identical to `build_tables(ctx)` (the
+    tables are a pure function of the ctx; tests/test_sweep.py pins the
+    invariant). The full rebuild profiled at 2.6ms of the 7ms flagship
+    step (PROF_SWEEP_r04.json); the patch is ~60x less table work."""
+    stop_tbl, route = tables
+    n = ctx["v"].shape[0]
+    kk = ctx["r_stop"].shape[0]
+    view = _route_view(ctx, av2)
+    view["veh_ids"] = av2
+    grid, rr = _tables_core(view, cfg, utils, n)
+
+    iota_k = jnp.arange(kk, dtype=jnp.int32)
+    route = dict(route)
+    for name, old in route.items():
+        val = rr[name]
+        for i in range(av2.shape[0]):
+            m = iota_k == av2[i]
+            mm = m.reshape(m.shape + (1,) * (old.ndim - 1))
+            old = jnp.where(mm, val[i][None] if old.ndim > 1
+                            else val[i], old)
+        route[name] = old
+
+    stop_tbl = stop_tbl.at[view["r_stop"].reshape(-1)].set(grid, mode="drop")
+    stop_tbl = stop_tbl.at[:, 3].set(utils["cust_packed"][ctx["c"], 0])
     return stop_tbl, route
 
 
@@ -345,7 +420,7 @@ def _target_window(stbl_rows):
 # --------------------------------------------------------------------------
 
 def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
-                     utils):
+                     utils, tables=None):
     """Score every sweep candidate for the given target rows.
 
     Returns a dict of per-family i32 delta arrays (hard/late/dist), validity
@@ -363,7 +438,9 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
     tw = bool(utils["time_windowed"])
     dm, dmt = cfg.dm, cfg.dmT
 
-    stbl, route = build_tables(ctx, cfg, utils)
+    if tables is None:
+        tables = build_tables(ctx, cfg, utils)
+    stbl, route = tables
 
     trow = stbl[t_rows]                                         # [T, C]
     t_v = trow[:, 0]
@@ -597,7 +674,8 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
 # the sweep proposal
 # --------------------------------------------------------------------------
 
-def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils):
+def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
+            tables=None):
     """Score all sweep candidates against `ctx`, pick the lexicographic
     winner, re-score it exactly, and return
     (winner_delta, exact_int_row[3], tabu_info, stats).
@@ -631,7 +709,8 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils):
         row_tabu = jnp.zeros((n,), bool).at[cfg.row_of_cust_slot].max(
             tabu_masks[cfg.g_cust] & cfg.cust_slot_valid, mode="drop")
 
-    sc = score_candidates(ctx, t_rows, t_valid, row_tabu, cfg, utils)
+    sc = score_candidates(ctx, t_rows, t_valid, row_tabu, cfg, utils,
+                          tables)
 
     # =================== combine + winner ===================================
     def keyrow(hard, late, dist, val):
@@ -689,10 +768,18 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils):
                       cfg.slot_of_row_cust[w_row])
     slot2 = jnp.where(fam == 2, cfg.slot_of_row_cust[jnp.minimum(vi, n - 1)],
                       slot1)
+    # affected vehicles of the winner (pre-update ids; <=2 by construction)
+    # — `patch_tables` recomputes exactly these routes' cumulant rows
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    av_a = jnp.sum(jnp.where(iota_n == w_row, ctx["v"], 0)).astype(jnp.int32)
+    v_of_vi = jnp.sum(jnp.where(iota_n == vi, ctx["v"], 0)).astype(jnp.int32)
+    av_b = jnp.where(fam == 1, vi.astype(jnp.int32),
+                     jnp.where(fam == 2, v_of_vi, jnp.int32(kk)))
     info = {
         "group": jnp.where(fam == 1, cfg.g_veh, cfg.g_cust).astype(jnp.int32),
         "positions": jnp.stack([slot1, slot2]).astype(jnp.int32),
         "count": jnp.where(fam == 2, 2, 1).astype(jnp.int32),
+        "av": jnp.stack([av_a, av_b]),
     }
 
     n_scored = (jnp.sum(sc["a_valid"], dtype=jnp.int64)

@@ -229,3 +229,41 @@ def test_sweep_late_acceptance_improves():
         state["global_values"][None, :])[0])
     np.testing.assert_allclose(g_score, recomputed, rtol=0, atol=1e-9)
     assert tuple(g_score) < tuple(init)
+
+
+def test_patch_tables_invariant():
+    """`patch_tables` after an accepted move must be bit-identical to a
+    fresh `build_tables` of the updated ctx. (The state-carried variant was
+    measured SLOWER on TPU — per-step scatters serialize under the island
+    vmap — so agents rebuild per step; the patch is kept as tested
+    machinery for a future gather-free formulation.)"""
+    req = _build(n=40, d=2, k=6, tw=True, seed=9)
+    utils = req._delta_utils()
+    cfg = sweep.SweepConfig(req, 8, 8)
+    mcfg = moves.MoverConfig(req.variables_manager, tabu_entity_rate=0.2,
+                             move_probas=[0.5, 0.5, 0, 0, 0, 0])
+    tabu = mcfg.init_tabu_state()
+    base = _perturbed_base(req, jax.random.key(3))
+    ctx = req.build_base_ctx(base)
+    tables = jax.jit(lambda c: sweep.build_tables(c, cfg, utils))(ctx)
+    for i in range(5):
+        free = mcfg.tabu_free(tabu)
+        masks = mcfg.tabu_masks(tabu)
+        delta, exact, info, _ = sweep.propose(
+            jax.random.key(40 + i), ctx, free, masks, cfg, utils,
+            tables=tables)
+        from greyjack_tpu.ops import lexico
+        accept = bool(lexico.lex_leq(exact, jnp.zeros((3,), exact.dtype)))
+        winner = {**delta, "valid": delta["valid"] & accept}
+        ctx = req.update_ctx(ctx, winner)
+        tables = jax.jit(lambda t, c, av: sweep.patch_tables(
+            t, c, av, cfg, utils))(tables, ctx, info["av"])
+        fresh = jax.jit(lambda c: sweep.build_tables(c, cfg, utils))(ctx)
+        np.testing.assert_array_equal(np.asarray(tables[0]),
+                                      np.asarray(fresh[0]))
+        for k2 in fresh[1]:
+            np.testing.assert_array_equal(np.asarray(tables[1][k2]),
+                                          np.asarray(fresh[1][k2]),
+                                          err_msg=k2)
+        tabu = moves.update_tabu_from_info(
+            tabu, jax.tree.map(lambda x: x[None], info), 0)
