@@ -5,6 +5,7 @@ from greyjack_tpu.models.tsp.domain import (
     generate_uniform_instance,
 )
 from greyjack_tpu.models.tsp.cotwin_builder import CotwinBuilder, CotStop
+from greyjack_tpu.models.tsp import sweep
 
 __all__ = [
     "Location",
@@ -13,4 +14,5 @@ __all__ = [
     "CotwinBuilder",
     "CotStop",
     "generate_uniform_instance",
+    "sweep",
 ]

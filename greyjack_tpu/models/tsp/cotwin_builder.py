@@ -155,6 +155,13 @@ def score_delta(ctx, delta, utils):
     return jnp.stack([hard, soft])
 
 
+def ctx_score_row(ctx, utils):
+    """f64[2] score of the ctx's base candidate from its exact sums (the
+    local-search int-accept / sweep paths materialize f64 only here)."""
+    return jnp.stack([ctx["hard"].astype(jnp.float64),
+                      ctx["soft_milli"].astype(jnp.float64) / 1000.0])
+
+
 def update_ctx(ctx, delta, utils):
     """Apply an accepted delta to the base ctx in O(K) scatters (a delta with
     no valid entries is the identity)."""
@@ -226,11 +233,21 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator.add_utility_object("dm_flat_milli", dm_milli.reshape(-1))
         calculator.add_utility_object("exact_fp_scores", self.exact_fp_scores)
         calculator.add_utility_object("n_locations", n_locations)
+        # magnitude bound for the sweep module's f32-exact one-hot matmuls
+        # (host-side from coordinates — no device reads at build time)
+        xs = [lc.latitude for lc in domain.locations_vec]
+        ys = [lc.longitude for lc in domain.locations_vec]
+        calculator.add_utility_object(
+            "dm_max_milli",
+            int(1000.0 * ((max(xs) - min(xs)) ** 2
+                          + (max(ys) - min(ys)) ** 2) ** 0.5) + 1)
         calculator.add_constraint("no_duplicating_stops_constraint",
                                   no_duplicating_stops_constraint)
         calculator.add_constraint("minimize_distance", minimize_distance)
         if self.use_incremental_score_calculation and not self.exact_fp_scores:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
-                                         update_ctx)
+                                         update_ctx, ctx_score=ctx_score_row)
+            from greyjack_tpu.models.tsp import sweep
+            calculator.set_sweep_module(sweep)
         cotwin.add_score_calculator(calculator)
         return cotwin

@@ -1,0 +1,257 @@
+"""Sweep-neighbourhood scorer for TSP: dense value sweeps over tour stops.
+
+The TSP analog of `models/vrp/sweep.py` (see its docstring for the design
+rationale), radically simpler because there are no time windows: every
+candidate's score delta is EXACT closed-form leg arithmetic.
+
+  * **change-sweep** — for T sampled tour positions, score assigning EVERY
+    location id to the position: [T, Lc] tiles; distance delta =
+    dm[prev, c] + dm[c, next] - in_leg - out_leg, duplicate-count delta
+    from the value histogram.
+  * **swap-sweep** — swap each target position's value with every other
+    position's: [T, N]; the general 6-leg splice plus the standard
+    adjacent-pair correction (the shared leg is replaced by its reverse).
+
+dm rows ride one-hot matmuls on the MXU (exact for milli values < 2^24,
+HIGHEST precision); no scalar gathers anywhere on the candidate axis. The
+winner materializes as a standard kd=2 delta, re-scored exactly through
+`_delta_parts` before the accept decision (defence in depth — the sweep
+scores are already exact; reference semantics
+`examples/tsp/src/score/incremental_score_calculator.rs:31-86`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_STUB = np.int32(np.iinfo(np.int32).max)
+
+
+def eligible(utils):
+    """Static eligibility: f32-exact dm magnitudes for the one-hot matmuls
+    and i32-safe tour-distance deltas."""
+    if utils.get("dm_max_milli", 1 << 30) >= (1 << 24):
+        return False
+    if utils["n_locations"] >= (1 << 16):
+        return False
+    return True
+
+
+class SweepConfig:
+    """Host-compiled statics: variable ids (one per tour position), the
+    single semantic group's slot maps, and the transposed milli matrix."""
+
+    def __init__(self, requester, targets=None, window=None):
+        self.targets = int(targets or os.environ.get("GJ_SWEEP_TARGETS", 64))
+        self.window = int(window or 0)  # unused: all deltas are exact
+        schema = requester.planning_schema["path_stops"]
+        vm = requester.variables_manager
+        self.var_ids = jnp.asarray(
+            np.asarray(schema["var_ids_np"]["locations_vec_id"], np.int32))
+        self.n_rows = int(self.var_ids.shape[0])
+        self.float_dtype = vm.float_dtype
+        self.g0 = 0  # single semantic group ("common")
+        members = vm.group_members_np
+        var_row = np.zeros(vm.variables_count, np.int32)
+        var_row[np.asarray(schema["var_ids_np"]["locations_vec_id"])] = \
+            np.arange(self.n_rows, dtype=np.int32)
+        self.row_of_slot = jnp.asarray(var_row[members[self.g0]])
+        self.group_lmax = vm.max_group_size
+        self.slot_valid = jnp.asarray(
+            np.arange(vm.max_group_size) < int(vm.group_sizes_np[self.g0]))
+        utils = requester._delta_utils()
+        self.dm = utils["distance_matrix_milli"].astype(jnp.int32)
+        self.dmT = self.dm.T
+
+    def conservative_moves_per_step(self, utils, tabu_rate):
+        """Static LOWER bound on candidates per island-step (bench
+        accounting without device reads): change-sweep minus the no-op,
+        swap-sweep minus worst-case tabu/self/equal-value partners."""
+        n = self.n_rows
+        lc = utils["n_locations"] - 2       # values 1..L-1 minus the no-op
+        tabu_cap = int(np.ceil(tabu_rate * n))
+        return self.targets * (lc + max(0, n - 1 - tabu_cap))
+
+
+def _onehot_rows(idx, l, mat):
+    oh = (idx[..., None] == jnp.arange(l, dtype=jnp.int32)).astype(
+        jnp.float32)
+    return jnp.dot(oh, mat.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+
+
+def _permute_cols(mat_tl, idx_n, l):
+    oh = (jnp.arange(l, dtype=jnp.int32)[:, None] == idx_n[None, :]).astype(
+        jnp.float32)
+    return jnp.dot(mat_tl.astype(jnp.float32), oh,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+
+
+def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
+                     utils, tables=None):
+    """Exact delta arrays for both families: change [T, Lc] and swap
+    [T, N] (hard = duplicate-count delta, dist = tour-milli delta)."""
+    t = t_rows.shape[0]
+    l = utils["n_locations"]
+    lc = l - 1                              # legal values 1..L-1
+    n = cfg.n_rows
+    dm, dmt = cfg.dm, cfg.dmT
+    dmf = utils["dm_flat_milli"]
+    s = ctx["s"]
+    counts = ctx["counts"]
+    legs = ctx["legs"]                      # [N+1]
+
+    # per-stop neighbour tables (depot 0 at both boundaries)
+    p_vec = jnp.concatenate([jnp.zeros((1,), s.dtype), s[:-1]])   # [N]
+    n_vec = jnp.concatenate([s[1:], jnp.zeros((1,), s.dtype)])
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    def pick(x):                            # [N] -> [T] at t_rows
+        return jnp.sum(jnp.where(iota_n[None, :] == t_rows[:, None],
+                                 x[None, :], 0), axis=1, dtype=x.dtype)
+
+    t_c = pick(s)
+    t_p = pick(p_vec)
+    t_n = pick(n_vec)
+    t_inleg = pick(legs[:-1])               # legs[t]
+    t_outleg = pick(legs[1:])               # legs[t+1]
+
+    row_p = _onehot_rows(t_p, l, dm)        # dm[prev, :]
+    row_n = _onehot_rows(t_n, l, dmt)       # dm[:, next]
+    row_s = _onehot_rows(t_c, l, dm)        # dm[c_t, :]
+    row_sT = _onehot_rows(t_c, l, dmt)      # dm[:, c_t]
+
+    # --- change-sweep [T, Lc]: values c = 1..L-1 ----------------------------
+    cand = jnp.arange(1, l, dtype=jnp.int32)
+    a_dist = row_p[:, 1:] + row_n[:, 1:] - (t_inleg + t_outleg)[:, None]
+    dups_gone = (counts[t_c] == 1).astype(jnp.int32)
+    appears_new = (counts[None, 1:] == 0).astype(jnp.int32)
+    same = cand[None, :] == t_c[:, None]
+    a_hard = jnp.where(same, 0, dups_gone[:, None] - appears_new)
+    a_valid = t_valid[:, None] & ~same      # no-op candidate excluded
+
+    # --- swap-sweep [T, N] --------------------------------------------------
+    # general 6-leg splice; adjacent pairs replace the shared leg by its
+    # reverse (standard 2-swap correction)
+    g = (_permute_cols(row_p, s, l) + _permute_cols(row_n, s, l)
+         + _permute_cols(row_sT, p_vec, l) + _permute_cols(row_s, n_vec, l)
+         - (t_inleg + t_outleg)[:, None]
+         - (legs[:-1] + legs[1:])[None, :])
+    rev_in = dmf[t_c * l + t_p]             # dm[c_t, prev_t]
+    rev_out = dmf[t_n * l + t_c]            # dm[next_t, c_t]
+    is_next = t_rows[:, None] + 1 == iota_n[None, :]
+    is_prev = t_rows[:, None] - 1 == iota_n[None, :]
+    c_dist = (g
+              + jnp.where(is_next, rev_out[:, None] + t_outleg[:, None], 0)
+              + jnp.where(is_prev, rev_in[:, None] + t_inleg[:, None], 0))
+    c_hard = jnp.zeros((t, n), jnp.int32)
+    c_valid = (t_valid[:, None]
+               & (iota_n[None, :] != t_rows[:, None])
+               & (s[None, :] != t_c[:, None])     # equal-value swap = no-op
+               & ~row_tabu[None, :])
+
+    ones = jnp.ones((t, lc), bool)
+    return {
+        "a_hard": a_hard, "a_dist": a_dist, "a_valid": a_valid,
+        "a_conv": ones,
+        "c_hard": c_hard, "c_dist": c_dist, "c_valid": c_valid,
+        "c_conv": jnp.ones((t, n), bool),
+        "t_rows": t_rows, "t_c": t_c, "s": s,
+    }
+
+
+def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
+            tables=None):
+    """Sweep proposal: (winner_delta kd=2, exact i32[2] (d_hard,
+    d_dist_milli), tabu_info, stats). Same interface as the VRP module so
+    the TabuSearch/LateAcceptance sweep kernels are shared."""
+    t = cfg.targets
+    n = cfg.n_rows
+    l = utils["n_locations"]
+    lc = l - 1
+
+    free_list, free_count = free
+    fc = free_count[cfg.g0]
+    lmax = cfg.group_lmax
+    keys_rnd = jax.random.uniform(key, (lmax,), jnp.float32) \
+        + jnp.where(jnp.arange(lmax) < fc, 0.0, 2.0)
+    order = jnp.argsort(keys_rnd)[:t]
+    t_valid = jnp.arange(t, dtype=jnp.int32) < fc
+    t_rows = cfg.row_of_slot[free_list[cfg.g0][order]]
+
+    if tabu_masks is None:
+        row_tabu = jnp.zeros((n,), bool)
+    else:
+        row_tabu = jnp.zeros((n,), bool).at[cfg.row_of_slot].max(
+            tabu_masks[cfg.g0] & cfg.slot_valid, mode="drop")
+
+    sc = score_candidates(ctx, t_rows, t_valid, row_tabu, cfg, utils)
+
+    def keyrow(hard, dist, val):
+        k2 = jnp.stack([hard, dist], axis=-1)
+        return jnp.where(val[..., None], k2, _STUB).reshape(-1, 2)
+
+    keys_all = jnp.concatenate([
+        keyrow(sc["a_hard"], sc["a_dist"], sc["a_valid"]),
+        keyrow(sc["c_hard"], sc["c_dist"], sc["c_valid"]),
+    ], axis=0)
+    from greyjack_tpu.ops import lexico
+    best = lexico.lex_argmin(keys_all)
+    n_a = t * lc
+    fam = jnp.where(best < n_a, 0, 1)
+    off = best - jnp.where(fam == 0, 0, n_a)
+    per = jnp.where(fam == 0, lc, n)
+    ti = off // per
+    vi = off % per
+
+    def pick_t(x):
+        return jnp.sum(jnp.where(jnp.arange(t) == ti, x, 0)).astype(x.dtype)
+
+    w_row = pick_t(sc["t_rows"])
+    w_c_old = pick_t(sc["t_c"])
+    j_c = jnp.sum(jnp.where(jnp.arange(n) == vi, sc["s"], 0))
+    val1 = jnp.where(fam == 0, 1 + vi, j_c).astype(jnp.int32)
+    pos1 = cfg.var_ids[w_row]
+    pos2 = jnp.where(fam == 1, cfg.var_ids[jnp.minimum(vi, n - 1)], pos1)
+    any_valid = jnp.sum(jnp.where(jnp.arange(keys_all.shape[0]) == best,
+                                  keys_all[:, 0], 0)) != _STUB
+
+    delta = {
+        "positions": jnp.stack([pos1, pos2]).astype(jnp.int32),
+        "values": jnp.stack([val1, w_c_old]).astype(cfg.float_dtype),
+        "valid": jnp.stack([any_valid, (fam == 1) & any_valid]),
+    }
+
+    from greyjack_tpu.models.tsp import cotwin_builder as cb
+    parts = cb._delta_parts(ctx, delta, utils)
+    exact = jnp.stack([(-parts["d_unique"]).astype(jnp.int32),
+                       parts["d_soft"].astype(jnp.int32)])
+    exact = jnp.where(any_valid, exact, _STUB)
+
+    info = {
+        "group": jnp.asarray(cfg.g0, jnp.int32),
+        "positions": jnp.stack([w_row, jnp.where(fam == 1, vi, w_row)])
+        .astype(jnp.int32),
+        "count": jnp.where(fam == 1, 2, 1).astype(jnp.int32),
+    }
+    n_scored = (jnp.sum(sc["a_valid"], dtype=jnp.int64)
+                + jnp.sum(sc["c_valid"], dtype=jnp.int64))
+    stats = {"n_scored": n_scored,
+             "n_nonconv": jnp.zeros((), jnp.int64)}
+    return delta, exact, info, stats
+
+
+def exact_score_row(ctx, exact_ints, utils):
+    """f64[2] score row of the winner from exact integer sums (for the
+    LateAcceptance ring comparisons)."""
+    from greyjack_tpu.ops import lexico
+    hard = (ctx["hard"] + exact_ints[0]).astype(jnp.float64)
+    soft = (ctx["soft_milli"] + exact_ints[1]).astype(jnp.float64) / 1000.0
+    row = jnp.stack([hard, soft])
+    return jnp.where(exact_ints[0] == _STUB, lexico.stub_score_row(2), row)
