@@ -22,7 +22,8 @@ class SimulatedAnnealing:
 
     def __init__(self, initial_temperature, cooling_rate, tabu_entity_rate,
                  mutation_rate_multiplier, move_probas, migration_frequency,
-                 termination_strategy):
+                 termination_strategy, sweep=False, sweep_targets=None,
+                 sweep_window=None):
         self.initial_temperature = [float(t) for t in initial_temperature]
         self.cooling_rate = cooling_rate
         self.tabu_entity_rate = float(tabu_entity_rate)
@@ -30,6 +31,13 @@ class SimulatedAnnealing:
         self.move_probas = move_probas
         self.migration_frequency = int(migration_frequency)
         self.termination_strategy = termination_strategy
+        # sweep-neighbourhood mode (see TabuSearch): the per-step candidate
+        # is the sweep winner, Metropolis-accepted under the same
+        # per-component temperatures — a stronger proposal distribution
+        # under unchanged acceptance semantics (documented divergence)
+        self.sweep = bool(sweep)
+        self.sweep_targets = sweep_targets
+        self.sweep_window = sweep_window
         self.population_size = 1
         self.migration_rate = 1.0
 
@@ -45,6 +53,11 @@ class SimulatedAnnealing:
             )
         t0 = jnp.asarray(self.initial_temperature, jnp.float64)
         cooling = self.cooling_rate
+
+        if (self.sweep and score_precision is None
+                and requester.supports_sweep):
+            return self._build_sweep_kernel(requester, cfg, score_fn, s, t0,
+                                            cooling)
 
         if requester.supports_delta:
             # incremental mode: one O(K) delta per step against the ctx in
@@ -143,3 +156,89 @@ class SimulatedAnnealing:
             return state
 
         return base.MetaheuristicKernel(self, init_state, step)
+
+    def _build_sweep_kernel(self, requester, cfg, score_fn, s, t0, cooling):
+        """Metropolis acceptance over sweep-winner proposals (see
+        `models/vrp/sweep.py` / `models/tsp/sweep.py`): the candidate is
+        the best of the dense value sweeps; acceptance keeps the
+        reference's product-of-exponentials rule
+        (`simulated_annealing_base.rs:167-183`)."""
+        from greyjack_tpu.ops import selection
+
+        vm = requester.variables_manager
+        mod = requester.sweep_module
+        sweep_cfg = mod.SweepConfig(requester, self.sweep_targets,
+                                    self.sweep_window)
+        utils = requester._delta_utils()
+
+        def init_state(key):
+            population = vm.sample_variables(key, 1)
+            scores = score_fn(population)
+            state = base.base_state(population, scores)
+            state["tabu"] = cfg.init_tabu_state()
+            state["temperature"] = t0
+            state["ctx"] = requester.build_base_ctx(population[0])
+            state["sweep_scored"] = jnp.zeros((), jnp.int64)
+            state["sweep_nonconv"] = jnp.zeros((), jnp.int64)
+            return state
+
+        def step(key, state, extras):
+            active = extras.get("_active", jnp.bool_(True))
+            k_prop, k_accept = jax.random.split(key)
+            free = extras.get("_free")
+            if free is None:
+                free = cfg.tabu_free(state["tabu"])
+            masks = cfg.tabu_masks(state["tabu"])
+            delta, exact, info, stats = mod.propose(
+                k_prop, state["ctx"], free, masks, sweep_cfg, utils)
+            cand_score = mod.exact_score_row(state["ctx"], exact, utils)
+
+            if cooling is not None:
+                temp = jnp.where(active,
+                                 jnp.maximum(state["temperature"] * cooling,
+                                             jnp.float64(1e-7)),
+                                 state["temperature"])
+            else:
+                temp = jnp.where(active,
+                                 jnp.broadcast_to(
+                                     extras["inverted_accomplish_rate"],
+                                     (s,)),
+                                 state["temperature"])
+            d = cand_score - state["scores"][0]
+            accept_proba = jnp.prod(jnp.exp(-(d / temp)))
+            u = jax.random.uniform(k_accept, (), dtype=jnp.float64)
+            accept = (lexico.lex_leq(cand_score, state["scores"][0])
+                      | (u < accept_proba)) & active \
+                & (exact[0] != jnp.iinfo(jnp.int32).max)
+
+            winner = {**delta, "valid": delta["valid"] & accept}
+            base_row = state["population"][0]
+            state = dict(state)
+            state["temperature"] = temp
+            state["population"] = moves.apply_delta(base_row, winner)[None, :]
+            state["ctx"] = requester.update_ctx(state["ctx"], winner)
+            state["scores"] = jnp.where(accept, cand_score[None, :],
+                                        state["scores"])
+            if cfg.use_tabu:
+                state["tabu"] = selection.tabu_push(
+                    state["tabu"], info["group"], info["positions"],
+                    jnp.where(active, info["count"], 0))
+            state["sweep_scored"] = state["sweep_scored"] + jnp.where(
+                active, stats["n_scored"], 0)
+            state["sweep_nonconv"] = state["sweep_nonconv"] + jnp.where(
+                active, stats["n_nonconv"], 0)
+            state = base.update_top(state)
+            state["step_id"] = state["step_id"] + active.astype(
+                state["step_id"].dtype)
+            return state
+
+        def refresh(state):
+            state = dict(state)
+            state["ctx"] = requester.build_base_ctx(state["population"][0])
+            return state
+
+        def prestep(batched_state):
+            return {"_free": cfg.tabu_free(batched_state["tabu"])}
+
+        return base.MetaheuristicKernel(self, init_state, step, refresh,
+                                        self_gating=True, prestep=prestep)

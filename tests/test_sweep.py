@@ -267,3 +267,26 @@ def test_patch_tables_invariant():
                                           err_msg=k2)
         tabu = moves.update_tabu_from_info(
             tabu, jax.tree.map(lambda x: x[None], info), 0)
+
+
+def test_sweep_simulated_annealing_improves():
+    from greyjack_tpu.agents import SimulatedAnnealing
+    from greyjack_tpu.agents.termination_strategies import StepsLimit
+    from greyjack_tpu.parallel import IslandRunner
+
+    req = _build(n=40, d=2, k=6, tw=True, seed=13)
+    agent = SimulatedAnnealing([10.0, 10.0, 10.0], 0.95, 0.2, None,
+                               [0.5, 0.5, 0, 0, 0, 0], 5, StepsLimit(100),
+                               sweep=True, sweep_targets=8, sweep_window=8)
+    kernel = agent.build_kernel(req, None)
+    runner = IslandRunner(kernel, n_islands=2, migration_frequency=5)
+    state = runner.init(jax.random.key(6))
+    init = np.asarray(state["islands"]["scores"])[0, 0]
+    alive = jnp.ones((2,), bool)
+    for i in range(6):
+        state = runner.run_chunk(state, jax.random.key(400 + i), alive, {}, 5)
+    g = np.asarray(state["global_score"])
+    recomputed = np.asarray(req.request_score_plain(
+        state["global_values"][None, :])[0])
+    np.testing.assert_allclose(g, recomputed, rtol=0, atol=1e-9)
+    assert tuple(g) < tuple(init)
