@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 _STUB = np.int32(np.iinfo(np.int32).max)
+_KD = 32   # winner-delta width cap (bounds reversal/insertion spans)
 
 
 def eligible(utils):
@@ -156,21 +157,58 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
                & (s[None, :] != t_c[:, None])     # equal-value swap = no-op
                & ~row_tabu[None, :])
 
+    # --- 2-opt reversal sweep [T, N]: reverse positions [min(t,j),
+    # max(t,j)] — the classic O(1)-delta 2-opt; interior legs are unchanged
+    # only for SYMMETRIC matrices (this model always builds Euclidean ones,
+    # `ops/distance.euclidean_matrix`). Span capped at _KD-1 so the winner
+    # materializes as a bounded-width delta.
+    rps = _permute_cols(row_p, s, l)        # dm[p_t, c_j]
+    rsn = _permute_cols(row_s, n_vec, l)    # dm[c_t, n_j]
+    rstp = _permute_cols(row_sT, p_vec, l)  # dm[p_j, c_t]
+    rns = _permute_cols(row_n, s, l)        # dm[c_j, n_t]
+    legs_j = legs[:-1][None, :]
+    legs_j1 = legs[1:][None, :]
+    jgt = iota_n[None, :] > t_rows[:, None]
+    r_dist = jnp.where(
+        jgt, rps + rsn - t_inleg[:, None] - legs_j1,
+        rstp + rns - legs_j - t_outleg[:, None])
+    span_ok = jnp.abs(iota_n[None, :] - t_rows[:, None]) <= _KD - 1
+    r_valid = (t_valid[:, None] & (iota_n[None, :] != t_rows[:, None])
+               & span_ok & ~row_tabu[None, :])
+    r_hard = jnp.zeros((t, n), jnp.int32)
+
+    # --- or-opt insertion sweep [T, N]: move the target's city to sit
+    # right after position j (remove splice + insert splice; exact for
+    # asymmetric matrices too). Span capped like the reversal.
+    splice_t = dmf[t_p * l + t_n]           # dm[p_t, n_t]
+    rss = _permute_cols(row_sT, s, l)       # dm[c_j, c_t]
+    i_dist = ((splice_t - t_inleg - t_outleg)[:, None]
+              + rss + rsn - legs_j1)
+    i_valid = (t_valid[:, None]
+               & (iota_n[None, :] != t_rows[:, None])
+               & (iota_n[None, :] != t_rows[:, None] - 1)
+               & span_ok & ~row_tabu[None, :])
+    i_hard = jnp.zeros((t, n), jnp.int32)
+
     ones = jnp.ones((t, lc), bool)
     return {
         "a_hard": a_hard, "a_dist": a_dist, "a_valid": a_valid,
         "a_conv": ones,
         "c_hard": c_hard, "c_dist": c_dist, "c_valid": c_valid,
         "c_conv": jnp.ones((t, n), bool),
+        "r_hard": r_hard, "r_dist": r_dist, "r_valid": r_valid,
+        "i_hard": i_hard, "i_dist": i_dist, "i_valid": i_valid,
         "t_rows": t_rows, "t_c": t_c, "s": s,
     }
 
 
 def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
             tables=None):
-    """Sweep proposal: (winner_delta kd=2, exact i32[2] (d_hard,
-    d_dist_milli), tabu_info, stats). Same interface as the VRP module so
-    the TabuSearch/LateAcceptance sweep kernels are shared."""
+    """Sweep proposal over four families (change / swap / 2-opt reversal /
+    or-opt insertion): returns (winner_delta kd=_KD, exact i32[2]
+    (d_hard, d_dist_milli), tabu_info, stats). Same interface as the VRP
+    module so the TabuSearch/LateAcceptance/SimulatedAnnealing sweep
+    kernels are shared."""
     t = cfg.targets
     n = cfg.n_rows
     l = utils["n_locations"]
@@ -200,12 +238,17 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
     keys_all = jnp.concatenate([
         keyrow(sc["a_hard"], sc["a_dist"], sc["a_valid"]),
         keyrow(sc["c_hard"], sc["c_dist"], sc["c_valid"]),
+        keyrow(sc["r_hard"], sc["r_dist"], sc["r_valid"]),
+        keyrow(sc["i_hard"], sc["i_dist"], sc["i_valid"]),
     ], axis=0)
     from greyjack_tpu.ops import lexico
     best = lexico.lex_argmin(keys_all)
     n_a = t * lc
-    fam = jnp.where(best < n_a, 0, 1)
-    off = best - jnp.where(fam == 0, 0, n_a)
+    sizes = jnp.asarray([n_a, t * n, t * n, t * n], jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(sizes)[:-1]])
+    fam = jnp.sum((best >= offs).astype(jnp.int32)) - 1      # 0..3
+    off = best - offs[fam]
     per = jnp.where(fam == 0, lc, n)
     ti = off // per
     vi = off % per
@@ -213,19 +256,62 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
     def pick_t(x):
         return jnp.sum(jnp.where(jnp.arange(t) == ti, x, 0)).astype(x.dtype)
 
+    s_tour = sc["s"]
     w_row = pick_t(sc["t_rows"])
     w_c_old = pick_t(sc["t_c"])
-    j_c = jnp.sum(jnp.where(jnp.arange(n) == vi, sc["s"], 0))
-    val1 = jnp.where(fam == 0, 1 + vi, j_c).astype(jnp.int32)
-    pos1 = cfg.var_ids[w_row]
-    pos2 = jnp.where(fam == 1, cfg.var_ids[jnp.minimum(vi, n - 1)], pos1)
+    j_c = jnp.sum(jnp.where(jnp.arange(n) == vi, s_tour, 0))
+
+    # --- winner delta, width _KD -------------------------------------------
+    kidx = jnp.arange(_KD, dtype=jnp.int32)
+    a = jnp.minimum(w_row, vi)
+    b = jnp.maximum(w_row, vi)
+    span = b - a + 1
+
+    # per-family value/validity at positions a + kidx
+    def s_at(idx):
+        return s_tour[jnp.clip(idx, 0, n - 1)]
+
+    # fam 0 change: one var at w_row gets value 1+vi
+    # fam 1 swap:   vars w_row/vi exchange values
+    # fam 2 reversal: positions a..b get s[b - kidx]
+    # fam 3 insertion after j: j > t changes [t..j] (rotate left:
+    #   s[a+1+kidx], last slot gets s[a]); j < t changes [j+1..t] (rotate
+    #   right: first slot gets s[t], then s[j+kidx])
+    jgt = vi > w_row
+    start = jnp.where((fam == 3) & ~jgt, a + 1, a)
+    pos_var = cfg.var_ids[jnp.clip(start + kidx, 0, n - 1)]
+    v_change = jnp.where(kidx == 0, 1 + vi, 0)
+    pos_change = jnp.where(kidx == 0, cfg.var_ids[w_row], pos_var)
+    v_swap = jnp.where(kidx == 0, j_c, w_c_old)
+    pos_swap = jnp.where(
+        kidx == 0, cfg.var_ids[w_row],
+        cfg.var_ids[jnp.minimum(vi, n - 1)])
+    v_rev = s_at(b - kidx)
+    v_ins = jnp.where(
+        jgt,
+        jnp.where(kidx == span - 1, s_at(a), s_at(a + 1 + kidx)),
+        jnp.where(kidx == 0, s_at(b), s_at(start + kidx - 1)))
+
+    is01 = fam <= 1
+    positions = jnp.where(is01,
+                          jnp.where(kidx < 2,
+                                    jnp.where(fam == 0, pos_change, pos_swap),
+                                    pos_var),
+                          pos_var).astype(jnp.int32)
+    values = jnp.where(fam == 0, v_change,
+                       jnp.where(fam == 1, v_swap,
+                                 jnp.where(fam == 2, v_rev, v_ins)))
     any_valid = jnp.sum(jnp.where(jnp.arange(keys_all.shape[0]) == best,
                                   keys_all[:, 0], 0)) != _STUB
-
+    nvalid = jnp.where(fam == 0, 1,
+                       jnp.where(fam == 1, 2,
+                                 jnp.where(fam == 2, span,
+                                           jnp.where(jgt, span, span - 1))))
+    valid = (kidx < nvalid) & any_valid
     delta = {
-        "positions": jnp.stack([pos1, pos2]).astype(jnp.int32),
-        "values": jnp.stack([val1, w_c_old]).astype(cfg.float_dtype),
-        "valid": jnp.stack([any_valid, (fam == 1) & any_valid]),
+        "positions": positions,
+        "values": values.astype(cfg.float_dtype),
+        "valid": valid,
     }
 
     from greyjack_tpu.models.tsp import cotwin_builder as cb
@@ -236,12 +322,15 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
 
     info = {
         "group": jnp.asarray(cfg.g0, jnp.int32),
-        "positions": jnp.stack([w_row, jnp.where(fam == 1, vi, w_row)])
-        .astype(jnp.int32),
-        "count": jnp.where(fam == 1, 2, 1).astype(jnp.int32),
+        "positions": jnp.stack([w_row,
+                                jnp.where(fam >= 1, jnp.minimum(vi, n - 1),
+                                          w_row)]).astype(jnp.int32),
+        "count": jnp.where(fam >= 1, 2, 1).astype(jnp.int32),
     }
     n_scored = (jnp.sum(sc["a_valid"], dtype=jnp.int64)
-                + jnp.sum(sc["c_valid"], dtype=jnp.int64))
+                + jnp.sum(sc["c_valid"], dtype=jnp.int64)
+                + jnp.sum(sc["r_valid"], dtype=jnp.int64)
+                + jnp.sum(sc["i_valid"], dtype=jnp.int64))
     stats = {"n_scored": n_scored,
              "n_nonconv": jnp.zeros((), jnp.int64)}
     return delta, exact, info, stats

@@ -216,6 +216,8 @@ def main():
                     default=bool(os.environ.get("GJ_SMALL")))
     ap.add_argument("--jobs", type=int,
                     default=int(os.environ.get("GJ_RACE_JOBS", "0")) or None)
+    ap.add_argument("--tsp", action="store_true",
+                    help="append the TSP race leg (native/ref_tabu_tsp)")
     args = ap.parse_args()
 
     import jax
@@ -242,6 +244,12 @@ def main():
         print(json.dumps({k2: v for k2, v in rec.items()
                           if k2 not in ("reference", "tpu")}), flush=True)
         records.append(rec)
+    if os.environ.get("GJ_RACE_TSP") or args.tsp:
+        rec = race_tsp(1000 if not args.small else 60, args.seconds,
+                       8 if not args.small else 2, 64, 37, jobs)
+        print(json.dumps({k2: v for k2, v in rec.items()
+                          if k2 not in ("reference", "tpu")}), flush=True)
+        records.append(rec)
 
     with open(args.out, "w") as f:
         json.dump(records, f, indent=1)
@@ -250,3 +258,109 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# --- TSP race leg (second model family; C++ side = native/ref_tabu_tsp) ----
+
+def write_tsp_instance(domain, init_tour, path):
+    import numpy as np
+    xs = np.array([lc.latitude for lc in domain.locations_vec])
+    ys = np.array([lc.longitude for lc in domain.locations_vec])
+    d = np.sqrt((xs[:, None] - xs[None, :]) ** 2
+                + (ys[:, None] - ys[None, :]) ** 2)
+    fl = np.floor(d)
+    dm = np.rint((fl + np.floor((d - fl) * 1000.0) / 1000.0) * 1000.0)
+    n = len(init_tour)
+    header = np.array([0x47525453, n, 0, 0, len(xs), 0, 0, 0], np.int32)
+    with open(path, "wb") as f:
+        header.tofile(f)
+        dm.astype(np.int32).reshape(-1).tofile(f)
+        np.array(init_tour, np.int32).tofile(f)
+
+
+def race_tsp(n_locations, seconds, islands, sweep_targets, seed, jobs):
+    import time
+    import jax
+    import jax.numpy as jnp
+    from greyjack_tpu.models.tsp import (CotwinBuilder,
+                                         generate_uniform_instance)
+    from greyjack_tpu.models.tsp.cotwin_builder import greedy_tour
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+    from greyjack_tpu.agents import TabuSearch
+    from greyjack_tpu.agents.termination_strategies import StepsLimit
+    from greyjack_tpu.parallel import IslandRunner
+
+    domain = generate_uniform_instance(n_locations, seed=seed)
+    xs = np.array([lc.latitude for lc in domain.locations_vec])
+    ys = np.array([lc.longitude for lc in domain.locations_vec])
+    dm_host = np.sqrt((xs[:, None] - xs[None, :]) ** 2
+                      + (ys[:, None] - ys[None, :]) ** 2)
+    init_tour = greedy_tour(dm_host).tolist()
+    inst = ROOT / f"instance_race_tsp_n{n_locations}.bin"
+    write_tsp_instance(domain, init_tour, inst)
+
+    exe = ROOT / "native" / "ref_tabu_tsp"
+    if not exe.exists():
+        subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
+                        "-pthread",
+                        str(ROOT / "native" / "ref_tabu_tsp.cpp"),
+                        "-o", str(exe)], check=True)
+    out = subprocess.run([str(exe), str(inst), str(seconds), str(jobs)],
+                         capture_output=True, text=True,
+                         timeout=seconds + 120, check=True)
+    ref_traj, ref_final = [], None
+    for line in out.stdout.splitlines():
+        rec = json.loads(line)
+        if rec.get("final"):
+            ref_final = rec
+        else:
+            ref_traj.append(rec)
+
+    req = ScoreRequester(CotwinBuilder(True, True).build_cotwin(domain,
+                                                                False))
+    agent = TabuSearch(1024, 0.5, True, None, [0, .2, .2, .2, .2, .2], 10,
+                       StepsLimit(10**9), sweep=True,
+                       sweep_targets=sweep_targets)
+    kernel = agent.build_kernel(req, None)
+    runner = IslandRunner(kernel, n_islands=islands,
+                          migration_frequency=10)
+    state = runner.init(jax.random.key(seed))
+    alive = jnp.ones((islands,), bool)
+    state = runner.run_chunk(state, jax.random.key(1), alive, {}, 10)
+    jax.block_until_ready(state)
+    _ = np.asarray(state["global_score"])
+    traj = []
+    chunks = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        state = runner.run_chunk(state, jax.random.key(100 + chunks), alive,
+                                 {}, 10)
+        chunks += 1
+        if chunks % 8 == 0:
+            row = np.asarray(state["global_score"])
+            traj.append({"t": round(time.time() - t0, 2),
+                         "hard": int(row[0]), "late": 0,
+                         "dist_milli": int(round(row[1] * 1000.0))})
+    jax.block_until_ready(state)
+    row = np.asarray(state["global_score"])
+    tpu_final = {"t": round(time.time() - t0, 2), "hard": int(row[0]),
+                 "late": 0, "dist_milli": int(round(row[1] * 1000.0)),
+                 "scored_moves": int(np.asarray(
+                     state["islands"]["sweep_scored"]).sum()),
+                 "islands": islands, "sweep_targets": sweep_targets}
+    cmp_final = lex_cmp(tpu_final, ref_final)
+    return {
+        "instance": f"synthetic-tsp-n{n_locations}",
+        "seed": seed,
+        "seconds": seconds,
+        "same_greedy_init": True,
+        "reference": {"trajectory": ref_traj, "final": ref_final},
+        "tpu": {"trajectory": traj, "final": tpu_final},
+        "winner_lexicographic": ("tpu" if cmp_final < 0
+                                 else "reference" if cmp_final > 0
+                                 else "tie"),
+        "notes": ("TSP leg: reference config examples/tsp/src/main.rs:47 "
+                  "(TabuSearch 1024 neighbours, tabu 0.5, swap/edges/"
+                  "scramble/insertion/inverse) vs the TSP sweep solver; "
+                  "same greedy nearest-neighbour init"),
+    }

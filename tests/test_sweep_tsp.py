@@ -123,3 +123,94 @@ def test_tsp_sweep_island_run_improves():
     np.testing.assert_allclose(g, recomputed, rtol=0, atol=1e-9)
     assert tuple(g) <= tuple(init)
     assert int(np.asarray(state["islands"]["sweep_scored"]).sum()) > 0
+
+
+def test_tsp_sweep_reversal_insertion_parity():
+    req = _build()
+    utils = req._delta_utils()
+    cfg = sweep.SweepConfig(req, targets=req.variables_manager.variables_count)
+    n = cfg.n_rows
+
+    base = _perturbed_base(req)
+    ctx = req.build_base_ctx(base)
+    base_score = np.asarray(req.request_score_plain(base[None, :])[0])
+    t_rows = jnp.arange(n, dtype=jnp.int32)
+    sc = jax.jit(lambda c: sweep.score_candidates(
+        c, t_rows, jnp.ones((n,), bool), jnp.zeros((n,), bool), cfg,
+        utils))(ctx)
+    sc = jax.tree.map(np.asarray, sc)
+    base_np = np.asarray(base)
+
+    def batch(rows):
+        pops = jnp.asarray(np.stack(rows), base.dtype)
+        return _ints(np.asarray(req.request_score_plain(pops)), base_score)
+
+    rng = np.random.RandomState(2)
+    # reversal: reverse [min, max]
+    pairs = [(t, j) for t in rng.choice(n, 6, replace=False)
+             for j in range(n)]
+    rows = []
+    for t, j in pairs:
+        m = base_np.copy()
+        a, b = min(t, j), max(t, j)
+        m[a:b + 1] = m[a:b + 1][::-1]
+        rows.append(m)
+    oracle = batch(rows)
+    rc = 0
+    for (t, j), orc in zip(pairs, oracle):
+        if not sc["r_valid"][t, j]:
+            continue
+        got = (sc["r_hard"][t, j], sc["r_dist"][t, j])
+        assert tuple(got) == tuple(orc), ("rev", t, j, got, orc)
+        rc += 1
+    assert rc > 50
+
+    # insertion: move city at t to sit after position j
+    pairs = [(t, j) for t in rng.choice(n, 6, replace=False)
+             for j in range(n)]
+    rows = []
+    for t, j in pairs:
+        m = list(base_np.copy())
+        city = m.pop(t)
+        # after removal, "after original j" target index shifts for j > t
+        m.insert(j if j > t else j + 1, city)
+        rows.append(np.asarray(m))
+    oracle = batch(rows)
+    ic = 0
+    for (t, j), orc in zip(pairs, oracle):
+        if not sc["i_valid"][t, j]:
+            continue
+        got = (sc["i_hard"][t, j], sc["i_dist"][t, j])
+        assert tuple(got) == tuple(orc), ("ins", t, j, got, orc)
+        ic += 1
+    assert ic > 50
+
+
+def test_tsp_sweep_winner_decode_exact():
+    """The width-_KD winner delta must reproduce the winning candidate's
+    sweep score exactly for every family (checked across many keys)."""
+    req = _build(n=40, seed=19)
+    utils = req._delta_utils()
+    cfg = sweep.SweepConfig(req, targets=10)
+    mcfg = moves.MoverConfig(req.variables_manager, tabu_entity_rate=0.2,
+                             move_probas=[0.5, 0.5, 0, 0, 0, 0])
+    tabu = mcfg.init_tabu_state()
+    base = _perturbed_base(req, seed=23)
+    ctx = req.build_base_ctx(base)
+    base_score = np.asarray(req.request_score_plain(base[None, :])[0])
+    free = mcfg.tabu_free(tabu)
+    masks = mcfg.tabu_masks(tabu)
+    fn = jax.jit(lambda k, c: sweep.propose(k, c, free, masks, cfg, utils))
+    for i in range(8):
+        delta, exact, info, stats = fn(jax.random.key(i), ctx)
+        mut = moves.apply_delta(base, jax.tree.map(lambda x: x, delta))
+        orc = _ints(np.asarray(req.request_score_plain(mut[None, :])[0]),
+                    base_score)
+        assert tuple(np.asarray(exact)) == tuple(orc), (i, exact, orc)
+        # push the winner so later keys see different tabu targets
+        tabu = moves.update_tabu_from_info(
+            tabu, jax.tree.map(lambda x: x[None], info), 0)
+        free = mcfg.tabu_free(tabu)
+        masks = mcfg.tabu_masks(tabu)
+        fn = jax.jit(lambda k, c, f=free, m=masks: sweep.propose(
+            k, c, f, m, cfg, utils))
