@@ -38,11 +38,19 @@ class MetaheuristicKernel:
     `migration_frequency` O(K) steps."""
 
     def __init__(self, builder, init_state, step, refresh=None,
-                 self_gating=False, prestep=None):
+                 self_gating=False, prestep=None, path=None,
+                 moves_per_step=None):
         self.builder = builder
         self.init_state = init_state
         self.step = step
         self.refresh = refresh
+        # which scoring path this kernel compiled to ("sweep" /
+        # "int-delta" / "delta" / "plain") — surfaced by the solver so a
+        # silent fallback is visible (ADVICE r4)
+        self.path = path
+        # scored candidates per island-step for throughput accounting; a
+        # static LOWER bound for sweep kernels (no device reads needed)
+        self.moves_per_step = moves_per_step
         # prestep(batched_state) -> extras dict, computed OUTSIDE the
         # island vmap once per step (e.g. the tabu free-list build, whose
         # compaction scatter lowers badly as a vmap-batched scatter)
@@ -56,6 +64,60 @@ class MetaheuristicKernel:
         # island state (ctx tables + population + tabu, ~25 select ops and
         # a broken scan-carry alias per step at flagship shapes)
         self.self_gating = self_gating
+
+
+def make_rounded_ints_to_row_fn(requester, score_precision):
+    """(int_totals i64[..., S]) -> f64[..., S] score rows, decimal-rounded
+    when `score_precision` is set.
+
+    The mapping `f64 = ints / scales` (scales from
+    `set_delta_kernels(int_scales=...)`) reproduces the plain scorer's f64
+    construction bit-for-bit, so rounding here equals rounding a full
+    rescore (`agent_base.rs:284-287`) — this is what keeps the int-delta
+    and sweep fast paths live under `score_precision` (VERDICT r4 item 3).
+    Requires `requester.supports_rounded_fast_paths` when precision is set.
+    """
+    scales = requester.score_int_scales
+
+    def fn(ints):
+        row = ints.astype(jnp.float64) / scales
+        if score_precision is not None:
+            row = round_decimal_jnp(row, list(score_precision))
+        return row
+
+    return fn
+
+
+def fast_paths_ok(requester, score_precision):
+    """True when the int-delta / sweep fast paths are usable at this
+    precision: always for unrounded scores; for rounded scores only when
+    the model registered its exact integer totals (rounding then happens
+    at the accept boundary, see `make_rounded_ints_to_row_fn`)."""
+    if score_precision is None:
+        return True
+    return requester.supports_rounded_fast_paths
+
+
+def announce_fallback(builder, requester, score_precision):
+    """Loud downgrade warning when a requested sweep mode cannot engage
+    (ADVICE r4: a user asking for sweep=True previously got no signal
+    about which path actually ran)."""
+    import warnings
+
+    if not requester.supports_sweep:
+        reason = ("the model registered no eligible sweep module for this "
+                  "instance")
+    elif not fast_paths_ok(requester, score_precision):
+        reason = ("score_precision is set and the model did not register "
+                  "exact integer totals (set_delta_kernels(ctx_ints=...)) "
+                  "for accept-boundary rounding")
+    else:
+        return
+    warnings.warn(
+        f"{builder.metaheuristic_name}: sweep=True requested but the sweep "
+        f"fast path cannot engage — {reason}; falling back to the "
+        "random-move path (orders of magnitude fewer scored moves/s)",
+        RuntimeWarning, stacklevel=3)
 
 
 def make_score_fn(requester, score_precision=None):

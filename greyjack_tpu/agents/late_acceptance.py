@@ -72,9 +72,12 @@ class LateAcceptance:
         score_fn = base.make_score_fn(requester, score_precision)
         s = requester.score_size
 
-        if (self.sweep and score_precision is None
-                and requester.supports_sweep):
-            return self._build_sweep_kernel(requester, cfg, score_fn, s)
+        precision_ok = base.fast_paths_ok(requester, score_precision)
+        if self.sweep and requester.supports_sweep and precision_ok:
+            return self._build_sweep_kernel(requester, cfg, score_fn, s,
+                                            score_precision)
+        if self.sweep:
+            base.announce_fallback(self, requester, score_precision)
 
         if requester.supports_delta:
             # incremental mode: one O(K) delta per step against the ctx in
@@ -123,7 +126,8 @@ class LateAcceptance:
                     state["population"][0])
                 return state
 
-            return base.MetaheuristicKernel(self, init_state, step, refresh)
+            return base.MetaheuristicKernel(self, init_state, step, refresh,
+                                            path="delta", moves_per_step=1)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)
@@ -155,9 +159,11 @@ class LateAcceptance:
             state["step_id"] = state["step_id"] + 1
             return state
 
-        return base.MetaheuristicKernel(self, init_state, step)
+        return base.MetaheuristicKernel(self, init_state, step, path="plain",
+                                        moves_per_step=1)
 
-    def _build_sweep_kernel(self, requester, cfg, score_fn, s):
+    def _build_sweep_kernel(self, requester, cfg, score_fn, s,
+                            score_precision=None):
         """Late acceptance over sweep-winner proposals: the candidate each
         step is the best of the dense value sweeps (`models/vrp/sweep.py`),
         accepted iff <= the ring's oldest entry OR <= the current best —
@@ -170,6 +176,10 @@ class LateAcceptance:
         sweep_cfg = mod.SweepConfig(requester, self.sweep_targets,
                                     self.sweep_window)
         utils = requester._delta_utils()
+        # accept-boundary rounding under score_precision (see TabuSearch)
+        ints_to_row = (base.make_rounded_ints_to_row_fn(
+            requester, score_precision)
+            if score_precision is not None else None)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)
@@ -190,7 +200,12 @@ class LateAcceptance:
             masks = cfg.tabu_masks(state["tabu"])
             delta, exact, info, stats = mod.propose(
                 key, state["ctx"], free, masks, sweep_cfg, utils)
-            cand_score = mod.exact_score_row(state["ctx"], exact, utils)
+            if ints_to_row is None:
+                cand_score = mod.exact_score_row(state["ctx"], exact, utils)
+            else:
+                cand_score = ints_to_row(
+                    requester.ctx_int_totals(state["ctx"])
+                    + exact.astype(jnp.int64))
             compare_to = ring_oldest(state["late"], state["scores"][0])
             accept = (lexico.lex_leq(cand_score, compare_to)
                       | lexico.lex_leq(cand_score, state["scores"][0])) \
@@ -225,5 +240,8 @@ class LateAcceptance:
         def prestep(batched_state):
             return {"_free": cfg.tabu_free(batched_state["tabu"])}
 
-        return base.MetaheuristicKernel(self, init_state, step, refresh,
-                                        self_gating=True, prestep=prestep)
+        return base.MetaheuristicKernel(
+            self, init_state, step, refresh, self_gating=True,
+            prestep=prestep, path="sweep",
+            moves_per_step=sweep_cfg.conservative_moves_per_step(
+                utils, self.tabu_entity_rate))

@@ -248,4 +248,5 @@ class LSHADE:
             state["step_id"] = state["step_id"] + 1
             return state
 
-        return base.MetaheuristicKernel(self, init_state, step)
+        return base.MetaheuristicKernel(self, init_state, step, path="plain",
+                                        moves_per_step=self.population_size)

@@ -54,10 +54,12 @@ class SimulatedAnnealing:
         t0 = jnp.asarray(self.initial_temperature, jnp.float64)
         cooling = self.cooling_rate
 
-        if (self.sweep and score_precision is None
-                and requester.supports_sweep):
+        precision_ok = base.fast_paths_ok(requester, score_precision)
+        if self.sweep and requester.supports_sweep and precision_ok:
             return self._build_sweep_kernel(requester, cfg, score_fn, s, t0,
-                                            cooling)
+                                            cooling, score_precision)
+        if self.sweep:
+            base.announce_fallback(self, requester, score_precision)
 
         if requester.supports_delta:
             # incremental mode: one O(K) delta per step against the ctx in
@@ -115,7 +117,8 @@ class SimulatedAnnealing:
                     state["population"][0])
                 return state
 
-            return base.MetaheuristicKernel(self, init_state, step, refresh)
+            return base.MetaheuristicKernel(self, init_state, step, refresh,
+                                            path="delta", moves_per_step=1)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)
@@ -155,9 +158,11 @@ class SimulatedAnnealing:
             state["step_id"] = state["step_id"] + 1
             return state
 
-        return base.MetaheuristicKernel(self, init_state, step)
+        return base.MetaheuristicKernel(self, init_state, step, path="plain",
+                                        moves_per_step=1)
 
-    def _build_sweep_kernel(self, requester, cfg, score_fn, s, t0, cooling):
+    def _build_sweep_kernel(self, requester, cfg, score_fn, s, t0, cooling,
+                            score_precision=None):
         """Metropolis acceptance over sweep-winner proposals (see
         `models/vrp/sweep.py` / `models/tsp/sweep.py`): the candidate is
         the best of the dense value sweeps; acceptance keeps the
@@ -170,6 +175,10 @@ class SimulatedAnnealing:
         sweep_cfg = mod.SweepConfig(requester, self.sweep_targets,
                                     self.sweep_window)
         utils = requester._delta_utils()
+        # accept-boundary rounding under score_precision (see TabuSearch)
+        ints_to_row = (base.make_rounded_ints_to_row_fn(
+            requester, score_precision)
+            if score_precision is not None else None)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)
@@ -191,7 +200,12 @@ class SimulatedAnnealing:
             masks = cfg.tabu_masks(state["tabu"])
             delta, exact, info, stats = mod.propose(
                 k_prop, state["ctx"], free, masks, sweep_cfg, utils)
-            cand_score = mod.exact_score_row(state["ctx"], exact, utils)
+            if ints_to_row is None:
+                cand_score = mod.exact_score_row(state["ctx"], exact, utils)
+            else:
+                cand_score = ints_to_row(
+                    requester.ctx_int_totals(state["ctx"])
+                    + exact.astype(jnp.int64))
 
             if cooling is not None:
                 temp = jnp.where(active,
@@ -240,5 +254,8 @@ class SimulatedAnnealing:
         def prestep(batched_state):
             return {"_free": cfg.tabu_free(batched_state["tabu"])}
 
-        return base.MetaheuristicKernel(self, init_state, step, refresh,
-                                        self_gating=True, prestep=prestep)
+        return base.MetaheuristicKernel(
+            self, init_state, step, refresh, self_gating=True,
+            prestep=prestep, path="sweep",
+            moves_per_step=sweep_cfg.conservative_moves_per_step(
+                utils, self.tabu_entity_rate))

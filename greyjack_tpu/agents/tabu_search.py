@@ -24,7 +24,7 @@ class TabuSearch:
     def __init__(self, neighbours_count, tabu_entity_rate, compare_to_global,
                  mutation_rate_multiplier, move_probas, migration_frequency,
                  termination_strategy, sweep=False, sweep_targets=None,
-                 sweep_window=None):
+                 sweep_window=None, sweep_stall_limit=32):
         self.neighbours_count = int(neighbours_count)
         self.tabu_entity_rate = float(tabu_entity_rate)
         self.compare_to_global = bool(compare_to_global)
@@ -35,18 +35,20 @@ class TabuSearch:
         # sweep-neighbourhood mode (model-provided dense value sweeps —
         # `models/vrp/sweep.py`): per step, every candidate value for
         # `sweep_targets` sampled stops is scored instead of
-        # `neighbours_count` random moves. Requires a model sweep module and
-        # unrounded scores; silently falls back otherwise.
+        # `neighbours_count` random moves. Requires a model sweep module;
+        # with `score_precision` the model must also register exact integer
+        # totals (accept-boundary rounding) — a RuntimeWarning is emitted
+        # when the sweep cannot engage and the kernel records `path`.
         self.sweep = bool(sweep)
         self.sweep_targets = sweep_targets
         self.sweep_window = sweep_window
-        # classic-TS escape hatch for the sweep mode: after `stall_limit`
+        # classic-TS escape hatch for the sweep mode: after `sweep_stall_limit`
         # steps without a NEW BEST, the best candidate is accepted even when
         # worse (move-to-best-non-tabu-neighbour, the textbook tabu-search
         # rule); hill-climb acceptance resumes on a new best. Best-improve
         # sweeps otherwise freeze at their first deep local optimum
         # (measured: the non-tw n=1000 race leg plateaued within 0.5s)
-        self.sweep_stall_limit = 32
+        self.sweep_stall_limit = int(sweep_stall_limit)
         # local-search agents force population 1 / migration_rate 1.0
         # (`tabu_search.rs:68-71`)
         self.population_size = 1
@@ -59,9 +61,12 @@ class TabuSearch:
         score_fn = base.make_score_fn(requester, score_precision)
         n = self.neighbours_count
 
-        if (self.sweep and score_precision is None
-                and requester.supports_sweep):
-            return self._build_sweep_kernel(requester, cfg, score_fn)
+        precision_ok = base.fast_paths_ok(requester, score_precision)
+        if self.sweep and requester.supports_sweep and precision_ok:
+            return self._build_sweep_kernel(requester, cfg, score_fn,
+                                            score_precision)
+        if self.sweep:
+            base.announce_fallback(self, requester, score_precision)
 
         if requester.supports_delta:
             # incremental mode (`tabu_search_base.rs:107-188` semantics): the
@@ -70,6 +75,11 @@ class TabuSearch:
             # chromosome and the ctx — no O(N) work per step at all
             delta_score_fn = base.make_delta_score_fn(requester,
                                                       score_precision)
+            # accept-boundary rounding keeps the int path live under
+            # score_precision (None when unrounded — exact delta<=0 compare)
+            ints_to_row = (base.make_rounded_ints_to_row_fn(
+                requester, score_precision)
+                if score_precision is not None and precision_ok else None)
 
             def init_state(key):
                 population = vm.sample_variables(key, 1)
@@ -93,18 +103,30 @@ class TabuSearch:
                     extras.get("_free"))
                 # int-delta fast path (trace-time static): rank/accept on
                 # i32 delta rows, materialize the f64 score only from the
-                # updated ctx's exact sums. Requires unrounded scores —
-                # with score_precision the comparison must see rounded f64.
+                # ctx's exact sums. With score_precision, the accept compare
+                # sees rounded f64 rows derived from ctx_ints + delta_ints
+                # (bit-identical to rounding a full rescore) — argmin stays
+                # on exact ints, which is valid because decimal rounding is
+                # monotone.
                 ints = None
-                if score_precision is None:
+                if precision_ok:
                     ints = requester.request_score_delta_ints(state["ctx"],
                                                               deltas)
                 state = dict(state)
                 if ints is not None:
                     best = lexico.lex_argmin(ints)
-                    accept = lexico.lex_leq(
-                        moves.take_one(ints, best),
-                        jnp.zeros((ints.shape[-1],), ints.dtype)) & active
+                    best_delta = moves.take_one(ints, best)
+                    if ints_to_row is None:
+                        accept = lexico.lex_leq(
+                            best_delta,
+                            jnp.zeros((ints.shape[-1],), ints.dtype)) & active
+                        cand_row = None
+                    else:
+                        cand_row = ints_to_row(
+                            requester.ctx_int_totals(state["ctx"])
+                            + best_delta.astype(jnp.int64))
+                        accept = lexico.lex_leq(
+                            cand_row, state["scores"][0]) & active
                     winner = moves.take_one(deltas, best)
                     winner = {**winner, "valid": winner["valid"] & accept}
                     new_row = moves.apply_delta(base_row, winner)
@@ -116,9 +138,10 @@ class TabuSearch:
                     # ctx-derived row would let any bitwise divergence between
                     # the two scorers make a "frozen" island's score drift
                     # (ADVICE r3)
+                    new_score = (cand_row if cand_row is not None
+                                 else requester.ctx_score_row(state["ctx"]))
                     state["scores"] = jnp.where(
-                        accept, requester.ctx_score_row(state["ctx"])[None, :],
-                        state["scores"])
+                        accept, new_score[None, :], state["scores"])
                 else:
                     scores = delta_score_fn(state["ctx"], deltas)
                     best = lexico.lex_argmin(scores)
@@ -156,9 +179,17 @@ class TabuSearch:
             def prestep(batched_state):
                 return {"_free": cfg.tabu_free(batched_state["tabu"])}
 
-            return base.MetaheuristicKernel(self, init_state, step, refresh,
-                                            self_gating=True,
-                                            prestep=prestep if narrow else None)
+            calc = requester.cotwin.score_calculator
+            has_ints = (precision_ok
+                        and getattr(calc, "delta_score_batch_ints_fn", None)
+                        is not None
+                        and getattr(calc, "delta_ctx_score_fn", None)
+                        is not None)
+            return base.MetaheuristicKernel(
+                self, init_state, step, refresh, self_gating=True,
+                prestep=prestep if narrow else None,
+                path="int-delta" if has_ints else "delta",
+                moves_per_step=n)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)
@@ -188,9 +219,11 @@ class TabuSearch:
             state["step_id"] = state["step_id"] + 1
             return state
 
-        return base.MetaheuristicKernel(self, init_state, step)
+        return base.MetaheuristicKernel(self, init_state, step, path="plain",
+                                        moves_per_step=n)
 
-    def _build_sweep_kernel(self, requester, cfg, score_fn):
+    def _build_sweep_kernel(self, requester, cfg, score_fn,
+                            score_precision=None):
         """Sweep-neighbourhood local search: dense value sweeps scored from
         ctx cumulants (`models/vrp/sweep.py`), winner re-scored exactly and
         accepted iff <= current — the reference's accept-best-neighbour
@@ -204,6 +237,13 @@ class TabuSearch:
         sweep_cfg = mod.SweepConfig(requester, self.sweep_targets,
                                     self.sweep_window)
         utils = requester._delta_utils()
+        # accept-boundary rounding (None when unrounded): candidate row =
+        # rounded((ctx_ints + exact) / scales), compared lexicographically
+        # against the rounded incumbent — reference `agent_base.rs:284-287`
+        # semantics without leaving the integer sweep fast path
+        ints_to_row = (base.make_rounded_ints_to_row_fn(
+            requester, score_precision)
+            if score_precision is not None else None)
 
         def init_state(key):
             population = vm.sample_variables(key, 1)
@@ -228,15 +268,22 @@ class TabuSearch:
                 key, state["ctx"], free, masks, sweep_cfg, utils)
             stub = jnp.iinfo(exact.dtype).max
             forced = state["sweep_stall"] >= self.sweep_stall_limit
-            accept = (lexico.lex_leq(
-                exact, jnp.zeros((exact.shape[-1],), exact.dtype)) | forced) \
-                & active & (exact[0] != stub)
+            if ints_to_row is None:
+                cand_row = None
+                improves = lexico.lex_leq(
+                    exact, jnp.zeros((exact.shape[-1],), exact.dtype))
+            else:
+                cand_row = ints_to_row(requester.ctx_int_totals(state["ctx"])
+                                       + exact.astype(jnp.int64))
+                improves = lexico.lex_leq(cand_row, state["scores"][0])
+            accept = (improves | forced) & active & (exact[0] != stub)
             winner = {**delta, "valid": delta["valid"] & accept}
             base_row = state["population"][0]
             state = dict(state)
             state["population"] = moves.apply_delta(base_row, winner)[None, :]
             state["ctx"] = requester.update_ctx(state["ctx"], winner)
-            new_score = requester.ctx_score_row(state["ctx"])
+            new_score = (cand_row if cand_row is not None
+                         else requester.ctx_score_row(state["ctx"]))
             new_best = lexico.lex_less(new_score, state["top_score"]) & accept
             state["sweep_stall"] = jnp.where(
                 active, jnp.where(new_best, 0, state["sweep_stall"] + 1),
@@ -267,5 +314,8 @@ class TabuSearch:
         def prestep(batched_state):
             return {"_free": cfg.tabu_free(batched_state["tabu"])}
 
-        return base.MetaheuristicKernel(self, init_state, step, refresh,
-                                        self_gating=True, prestep=prestep)
+        return base.MetaheuristicKernel(
+            self, init_state, step, refresh, self_gating=True,
+            prestep=prestep, path="sweep",
+            moves_per_step=sweep_cfg.conservative_moves_per_step(
+                utils, self.tabu_entity_rate))

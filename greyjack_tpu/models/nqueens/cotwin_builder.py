@@ -131,6 +131,13 @@ def update_ctx(ctx, delta, utils):
     }
 
 
+def ctx_int_totals(ctx, utils):
+    """i64[1] exact integer score totals (SimpleScore is integral) —
+    keeps the delta fast paths live under `score_precision`
+    (accept-boundary rounding, `agents/base.py`)."""
+    return ctx["conflicts"].astype(jnp.int64)[None]
+
+
 class CotwinBuilder(CotwinBuilderBase):
     def __init__(self, use_incremental_score_calculation=True):
         self.use_incremental_score_calculation = use_incremental_score_calculation
@@ -159,6 +166,8 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator.add_constraint("all_different", all_different)
         if self.use_incremental_score_calculation:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
-                                         update_ctx)
+                                         update_ctx,
+                                         ctx_ints=ctx_int_totals,
+                                         int_scales=[1.0])
         cotwin.add_score_calculator(calculator)
         return cotwin

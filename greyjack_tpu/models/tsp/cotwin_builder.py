@@ -75,7 +75,8 @@ def minimize_distance(planning, facts, utils):
         soft = routes.tour_distance(stops, utils["distance_matrix"], depot=0)
     else:
         soft = routes.tour_distance_fast(stops, utils["distance_matrix_milli"],
-                                         depot=0)
+                                         depot=0, dm_at=utils.get("dm_at"),
+                                         n_locations=utils["n_locations"])
     return (jnp.zeros((), jnp.float64), soft)
 
 
@@ -162,6 +163,15 @@ def ctx_score_row(ctx, utils):
                       ctx["soft_milli"].astype(jnp.float64) / 1000.0])
 
 
+def ctx_int_totals(ctx, utils):
+    """i64[2] exact integer totals (hard count, distance milli) — with
+    int_scales [1, 1000] this reproduces `ctx_score_row` bit-for-bit and
+    keeps the sweep fast path live under the reference's shipped
+    `score_precision=[3,3]` TSP config (`examples/tsp/src/main.rs:56`)."""
+    return jnp.stack([ctx["hard"].astype(jnp.int64),
+                      ctx["soft_milli"].astype(jnp.int64)])
+
+
 def update_ctx(ctx, delta, utils):
     """Apply an accepted delta to the base ctx in O(K) scatters (a delta with
     no valid entries is the identity)."""
@@ -246,7 +256,9 @@ class CotwinBuilder(CotwinBuilderBase):
         calculator.add_constraint("minimize_distance", minimize_distance)
         if self.use_incremental_score_calculation and not self.exact_fp_scores:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
-                                         update_ctx, ctx_score=ctx_score_row)
+                                         update_ctx, ctx_score=ctx_score_row,
+                                         ctx_ints=ctx_int_totals,
+                                         int_scales=[1.0, 1000.0])
             from greyjack_tpu.models.tsp import sweep
             calculator.set_sweep_module(sweep)
         cotwin.add_score_calculator(calculator)

@@ -124,6 +124,7 @@ def build_common(planning, facts, utils):
             utils["vehicle_depot_ids"],
             utils.get("work_day_start_k"), utils.get("work_day_end_k"),
             cust_rows, utils["time_windowed"],
+            dm_at=utils.get("dm_at"),
         )
         loads = segments.segment_sum(cust_rows[:, 0], sorted_v,
                                      utils["k_vehicles"])
@@ -766,6 +767,18 @@ def ctx_score_row(ctx, utils):
     return jnp.where(ctx["base_over"], lexico.stub_score_row(3), row)
 
 
+def ctx_int_totals(ctx, utils):
+    """i64[3] exact integer totals (1000*dups + overflow, lateness,
+    distance milli) — with int_scales [1, 1, 1000] this reproduces
+    `ctx_score_row` bit-for-bit (modulo the base_over stub, which the
+    agents' stub guards handle) and keeps the int-delta/sweep fast paths
+    live under `score_precision` (accept-boundary rounding)."""
+    hard = (1000 * ctx["dups"].astype(jnp.int64)
+            + ctx["sum_overflow"].astype(jnp.int64))
+    return jnp.stack([hard, ctx["sum_late"].astype(jnp.int64),
+                      ctx["sum_dist"].astype(jnp.int64)])
+
+
 def update_ctx(ctx, delta, utils):
     """Apply one ACCEPTED delta to the ctx (identity for all-invalid
     deltas; over-cap deltas are never accepted — their score is the stub).
@@ -1115,7 +1128,9 @@ class CotwinBuilder(CotwinBuilderBase):
             calculator.remove_constraint("late_arrival_penalty")
         if self.use_incremental_score_calculation and not self.exact_fp_scores:
             calculator.set_delta_kernels(build_delta_ctx, score_delta,
-                                         update_ctx, ctx_score=ctx_score_row)
+                                         update_ctx, ctx_score=ctx_score_row,
+                                         ctx_ints=ctx_int_totals,
+                                         int_scales=[1.0, 1.0, 1000.0])
             from greyjack_tpu.models.vrp import delta_pallas, sweep
             calculator.set_delta_batch_kernel(
                 delta_pallas.score_delta_batch,

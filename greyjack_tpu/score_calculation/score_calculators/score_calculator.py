@@ -57,14 +57,18 @@ class PlainScoreCalculator:
         self.utility_objects[name] = obj
 
     # --- evaluation ---------------------------------------------------------
-    def score_one(self, planning, facts):
+    def score_one(self, planning, facts, util_overrides=None):
         """Score a single candidate's frames -> f64[S].
 
         Vmapped over the population by `ScoreRequester`; weighted constraint
         results are folded in insertion order (fp-parity with the
         reference's sequential `add_assign`, `plain_score_calculator.rs:79-90`).
+        `util_overrides` (optional) is merged over the utility objects — the
+        partitioned-facts mode injects its `dm_at` accessor here.
         """
         utils = dict(self.utility_objects)
+        if util_overrides:
+            utils.update(util_overrides)
         for fn in self.prescoring_functions.values():
             extra = fn(planning, facts, utils)
             if extra:
@@ -120,10 +124,12 @@ class IncrementalScoreCalculator(PlainScoreCalculator):
         self.delta_update_fn = None
         self.delta_ctx_score_fn = None
         self.delta_score_batch_ints_fn = None
+        self.delta_ctx_ints_fn = None
+        self.score_int_scales = None
         self.sweep_module = None
 
     def set_delta_kernels(self, build_ctx, score_delta, update_ctx,
-                          ctx_score=None):
+                          ctx_score=None, ctx_ints=None, int_scales=None):
         """Register the delta kernel triple. `update_ctx(ctx, delta, utils)`
         applies one ACCEPTED delta to the ctx in O(K) (identity when the
         delta has no valid entries) — local-search steps never re-run the
@@ -131,11 +137,23 @@ class IncrementalScoreCalculator(PlainScoreCalculator):
         when migration swaps the base candidate.
         `ctx_score(ctx, utils) -> f64[S]` (optional): the ctx's own base
         score from its exact integer sums — required for the int-delta
-        local-search fast path (see set_delta_batch_kernel)."""
+        local-search fast path (see set_delta_batch_kernel).
+        `ctx_ints(ctx, utils) -> i64[S]` (optional): the ctx's exact INTEGER
+        score totals, with `int_scales` (length-S divisors) mapping them to
+        the f64 score space (`f64_row = ints / scales`). Registering the
+        pair keeps the int-delta and sweep fast paths live under
+        `score_precision`: agents derive the candidate's f64 row from
+        `ctx_ints + delta_ints`, apply the reference's truncating decimal
+        round (`math_utils.rs:9-12`) and compare ROUNDED rows at the accept
+        boundary — bit-identical to rounding a full plain rescore, because
+        the integer delta arithmetic is exact."""
         self.delta_ctx_fn = build_ctx
         self.delta_score_fn = score_delta
         self.delta_update_fn = update_ctx
         self.delta_ctx_score_fn = ctx_score
+        self.delta_ctx_ints_fn = ctx_ints
+        if int_scales is not None:
+            self.score_int_scales = [float(s) for s in int_scales]
 
     def set_delta_batch_kernel(self, score_delta_batch,
                                score_delta_batch_ints=None):

@@ -206,6 +206,27 @@ class ScoreRequester:
         calc = self.cotwin.score_calculator
         return calc.delta_ctx_score_fn(ctx, self._delta_utils())
 
+    @property
+    def supports_rounded_fast_paths(self):
+        """True when the model registered its exact integer score totals
+        (`set_delta_kernels(ctx_ints=..., int_scales=...)`) — the int-delta
+        and sweep fast paths then stay live under `score_precision` by
+        rounding at the accept boundary (see `score_calculator.py`)."""
+        calc = self.cotwin.score_calculator
+        return (getattr(calc, "delta_ctx_ints_fn", None) is not None
+                and getattr(calc, "score_int_scales", None) is not None)
+
+    def ctx_int_totals(self, ctx):
+        """i64[S] exact integer score totals of the ctx's base candidate."""
+        calc = self.cotwin.score_calculator
+        return calc.delta_ctx_ints_fn(ctx, self._delta_utils())
+
+    @property
+    def score_int_scales(self):
+        import jax.numpy as _jnp
+        return _jnp.asarray(self.cotwin.score_calculator.score_int_scales,
+                            _jnp.float64)
+
     def update_ctx(self, ctx, delta):
         """Apply one accepted delta to the ctx (O(K); identity when the
         delta has no valid entries)."""
@@ -249,16 +270,56 @@ class ScoreRequester:
         return frames
 
     # --- scoring ------------------------------------------------------------
-    def request_score_plain(self, population):
+    def request_score_plain(self, population, util_overrides=None):
         """f64[P, V] -> f64[P, S] — jit/vmap-compatible, the per-step hot path
         (reference `request_score_plain`, `oop_score_requester.rs:336-355`)."""
         calculator = self.cotwin.score_calculator
         frames = self.build_frames(population)
 
         def score_sample(sample_frames):
-            return calculator.score_one(sample_frames, self.fact_frames)
+            return calculator.score_one(sample_frames, self.fact_frames,
+                                        util_overrides)
 
         return jax.vmap(score_sample)(frames)
+
+    # --- partitioned facts (SURVEY.md §5 long-context analog) ---------------
+    def partitioned_plain_score_fn(self, facts_axis="facts"):
+        """Plain scoring with the distance matrix ROW-SHARDED over a mesh
+        `facts` axis instead of replicated (the reference replicates the
+        fact frame per sample AND per agent thread,
+        `oop_score_requester.rs:204-211` — replication is what stops
+        scaling once facts outgrow one chip's HBM; DESIGN.md §6).
+
+        Returns `fn(dm_shard_flat, population) -> f64[P, S]` for use INSIDE
+        `jax.shard_map` over a 2-D `(islands, facts)` mesh: pass the flat
+        padded milli matrix (`ops/partitioned.shard_rows_flat`) with spec
+        `P(facts_axis)` and the population with `P(islands, None, None)`
+        (replicated along facts). Every dm lookup becomes an
+        owner-computes + psum exchange; scores are BIT-IDENTICAL to
+        replicated mode (integer gathers, one-hot psum contributions).
+
+        Only the plain path is partitioned: the delta/sweep fast paths keep
+        device-resident dense tables (they exist precisely because the
+        instance fits) — partitioned mode targets instances that DON'T fit,
+        where plain batched scoring is the only option.
+        """
+        from greyjack_tpu.ops import partitioned
+
+        calc = self.cotwin.score_calculator
+        if calc.utility_objects.get("exact_fp_scores"):
+            raise ValueError(
+                "partitioned facts require the integer-milli score path "
+                "(exact_fp_scores=False)")
+        l = calc.utility_objects["n_locations"]
+
+        def fn(dm_shard_flat, population):
+            def dm_at(flat_idx):
+                return partitioned.sharded_dm_gather_flat(
+                    dm_shard_flat, flat_idx, l, facts_axis)
+
+            return self.request_score_plain(population, {"dm_at": dm_at})
+
+        return fn
 
     def score_fn(self):
         """Return a pure `population -> scores` callable for jit/scan."""

@@ -99,6 +99,12 @@ class Solver:
                 )
 
         kernel = agent_builder.build_kernel(requester, score_precision)
+        if logging_level not in (SolverLoggingLevels.Silent,
+                                 SolverLoggingLevels.Warn):
+            # which scoring path actually compiled (sweep / int-delta /
+            # delta / plain) — a silent fallback was ADVICE r4's complaint
+            print(f"{agent_builder.metaheuristic_name} kernel path: "
+                  f"{kernel.path}")
         compare_to_global = getattr(agent_builder, "compare_to_global", True)
         runner = IslandRunner(
             kernel,
@@ -155,10 +161,12 @@ class Solver:
         profiler = ProfileCapture(profile_dir)
         if metrics is not None:
             metrics.start()
-        # scored candidates per island step: neighbourhood size for local
-        # search over batched neighbourhoods, population size for the
-        # population metaheuristics (GA/LSHADE), 1 for LA/SA
-        moves_per_step = (getattr(agent_builder, "neighbours_count", None)
+        # scored candidates per island step: the kernel's own accounting
+        # (a static lower bound for sweep kernels) when available, else
+        # neighbourhood size for batched local search / population size
+        # for the population metaheuristics
+        moves_per_step = (kernel.moves_per_step
+                          or getattr(agent_builder, "neighbours_count", None)
                           or kernel.population_size)
 
         global_score_obj = None
@@ -228,7 +236,7 @@ class Solver:
                         obs.update(solution_json)
 
             if metrics is not None:
-                metrics.add({
+                record = {
                     "chunk": chunk_id,
                     "steps": steps,
                     "wall_ms": round(chunk_ms, 3),
@@ -239,7 +247,17 @@ class Solver:
                     "improved": bool(improved),
                     "n_alive": int(np.sum(alive)),
                     "migrations": int(np.sum(alive)),
-                }, observers=observers)
+                    "kernel_path": kernel.path,
+                }
+                # sweep-health counters (VERDICT r4 item 7): cumulative
+                # exactly-scored candidates and lateness-bound fallbacks
+                islands_state = state["islands"]
+                if "sweep_scored" in islands_state:
+                    record["sweep_scored"] = int(
+                        np.asarray(islands_state["sweep_scored"]).sum())
+                    record["sweep_nonconv"] = int(
+                        np.asarray(islands_state["sweep_nonconv"]).sum())
+                metrics.add(record, observers=observers)
 
             _log(logging_level, chunk_id, steps, new_global, improved,
                  solving_start, int(np.sum(alive)))

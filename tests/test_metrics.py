@@ -58,3 +58,35 @@ def test_metrics_records_and_observer_fanout(tmp_path):
     # profiler capture wrote a trace directory (bounded window)
     trace_dir = tmp_path / "trace"
     assert trace_dir.exists() and any(trace_dir.rglob("*"))
+
+
+def test_metrics_surface_sweep_health_and_kernel_path():
+    """Sweep-health counters flow into SolverMetrics records and the kernel
+    path is reported (VERDICT r4 item 7 / ADVICE r4 visibility)."""
+    from greyjack_tpu.models.tsp import (DomainBuilder as TspDomainBuilder,
+                                         CotwinBuilder as TspCotwinBuilder,
+                                         generate_uniform_instance)
+
+    metrics = SolverMetrics()
+    obs = _RecObserver()
+    Solver.solve(
+        TspDomainBuilder.from_generator(
+            lambda: generate_uniform_instance(24, seed=3)),
+        TspCotwinBuilder(True, True),
+        TabuSearch(8, 0.2, True, None, [0, .2, .2, .2, .2, .2], 5,
+                   StepsLimit(15), sweep=True, sweep_targets=4,
+                   sweep_stall_limit=16),
+        n_jobs=2, logging_level=SolverLoggingLevels.Silent,
+        observers=[obs], seed=11, metrics=metrics,
+    )
+    assert metrics.records
+    for rec in metrics.records:
+        assert rec["kernel_path"] == "sweep"
+        assert "sweep_scored" in rec and "sweep_nonconv" in rec
+    # the cumulative scored counter is monotone and positive
+    scored = [rec["sweep_scored"] for rec in metrics.records]
+    assert scored[-1] > 0
+    assert all(b >= a for a, b in zip(scored, scored[1:]))
+    # TSP sweeps are all-exact: no lateness-bound fallbacks possible
+    assert metrics.records[-1]["sweep_nonconv"] == 0
+    assert obs.metric_records == metrics.records
