@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 
 _STUB = np.int32(np.iinfo(np.int32).max)
-_KD = 32   # winner-delta width cap (bounds reversal/insertion spans)
+# Default winner-delta width = the FULL tour (SweepConfig.kd): reversal /
+# insertion spans are uncapped, so the sweep covers every classic 2-opt and
+# or-opt move — long-range uncrossing moves decide quality at n >= 1000
+# (round-5 race diagnosis: the span-32 cap lost the n=1000 leg to the
+# reference's unrestricted swap_edges). Winner materialization is O(N)
+# vector work per step against the O(T*N) sweep — noise.
 
 
 def eligible(utils):
@@ -47,8 +52,13 @@ class SweepConfig:
     single semantic group's slot maps, and the transposed milli matrix."""
 
     def __init__(self, requester, targets=None, window=None):
-        self.targets = int(targets or os.environ.get("GJ_SWEEP_TARGETS", 64))
-        self.window = int(window or 0)  # unused: all deltas are exact
+        if targets is None:  # explicit check — `or` would swallow 0
+            targets = os.environ.get("GJ_SWEEP_TARGETS", 64)
+        self.targets = int(targets)
+        if self.targets <= 0:
+            raise ValueError(f"sweep targets must be positive, got "
+                             f"{self.targets}")
+        self.window = 0 if window is None else int(window)  # unused: exact
         schema = requester.planning_schema["path_stops"]
         vm = requester.variables_manager
         self.var_ids = jnp.asarray(
@@ -61,12 +71,24 @@ class SweepConfig:
         var_row[np.asarray(schema["var_ids_np"]["locations_vec_id"])] = \
             np.arange(self.n_rows, dtype=np.int32)
         self.row_of_slot = jnp.asarray(var_row[members[self.g0]])
+        # inverse map for tabu_push, which expects group SLOT indices —
+        # -1 for rows with no slot (frozen/pinned stops are excluded from
+        # semantic groups, `variables_manager.rs:94-101`); propose() drops
+        # slotless partners from the push count (ADVICE r4)
+        slot_of_row = np.full(self.n_rows, -1, np.int32)
+        rs = var_row[members[self.g0]][: int(vm.group_sizes_np[self.g0])]
+        slot_of_row[rs] = np.arange(len(rs), dtype=np.int32)
+        self.slot_of_row = jnp.asarray(slot_of_row)
         self.group_lmax = vm.max_group_size
         self.slot_valid = jnp.asarray(
             np.arange(vm.max_group_size) < int(vm.group_sizes_np[self.g0]))
         utils = requester._delta_utils()
         self.dm = utils["distance_matrix_milli"].astype(jnp.int32)
         self.dmT = self.dm.T
+        # winner-delta width: full tour by default (uncapped reversal /
+        # insertion spans — see module note); window > 0 restores a cap
+        self.kd = self.n_rows if self.window <= 0 else min(self.n_rows,
+                                                           self.window)
 
     def conservative_moves_per_step(self, utils, tabu_rate):
         """Static LOWER bound on candidates per island-step (bench
@@ -160,8 +182,8 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
     # --- 2-opt reversal sweep [T, N]: reverse positions [min(t,j),
     # max(t,j)] — the classic O(1)-delta 2-opt; interior legs are unchanged
     # only for SYMMETRIC matrices (this model always builds Euclidean ones,
-    # `ops/distance.euclidean_matrix`). Span capped at _KD-1 so the winner
-    # materializes as a bounded-width delta.
+    # `ops/distance.euclidean_matrix`). Span capped at cfg.kd-1 (default:
+    # the full tour — uncapped).
     rps = _permute_cols(row_p, s, l)        # dm[p_t, c_j]
     rsn = _permute_cols(row_s, n_vec, l)    # dm[c_t, n_j]
     rstp = _permute_cols(row_sT, p_vec, l)  # dm[p_j, c_t]
@@ -172,7 +194,7 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
     r_dist = jnp.where(
         jgt, rps + rsn - t_inleg[:, None] - legs_j1,
         rstp + rns - legs_j - t_outleg[:, None])
-    span_ok = jnp.abs(iota_n[None, :] - t_rows[:, None]) <= _KD - 1
+    span_ok = jnp.abs(iota_n[None, :] - t_rows[:, None]) <= cfg.kd - 1
     r_valid = (t_valid[:, None] & (iota_n[None, :] != t_rows[:, None])
                & span_ok & ~row_tabu[None, :])
     r_hard = jnp.zeros((t, n), jnp.int32)
@@ -205,7 +227,7 @@ def score_candidates(ctx, t_rows, t_valid, row_tabu, cfg: SweepConfig,
 def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
             tables=None):
     """Sweep proposal over four families (change / swap / 2-opt reversal /
-    or-opt insertion): returns (winner_delta kd=_KD, exact i32[2]
+    or-opt insertion): returns (winner_delta width cfg.kd, exact i32[2]
     (d_hard, d_dist_milli), tabu_info, stats). Same interface as the VRP
     module so the TabuSearch/LateAcceptance/SimulatedAnnealing sweep
     kernels are shared."""
@@ -261,8 +283,8 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
     w_c_old = pick_t(sc["t_c"])
     j_c = jnp.sum(jnp.where(jnp.arange(n) == vi, s_tour, 0))
 
-    # --- winner delta, width _KD -------------------------------------------
-    kidx = jnp.arange(_KD, dtype=jnp.int32)
+    # --- winner delta, width cfg.kd ----------------------------------------
+    kidx = jnp.arange(cfg.kd, dtype=jnp.int32)
     a = jnp.minimum(w_row, vi)
     b = jnp.maximum(w_row, vi)
     span = b - a + 1
@@ -320,12 +342,18 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
                        parts["d_soft"].astype(jnp.int32)])
     exact = jnp.where(any_valid, exact, _STUB)
 
+    # tabu_push expects group SLOT indices, not stop rows (they coincide
+    # only while no stop is frozen) — map through slot_of_row and drop a
+    # slotless (frozen) partner from the push count
+    w_slot = cfg.slot_of_row[w_row]
+    partner_slot = cfg.slot_of_row[jnp.minimum(vi, n - 1)]
+    has_partner = (fam >= 1) & (partner_slot >= 0)
     info = {
         "group": jnp.asarray(cfg.g0, jnp.int32),
-        "positions": jnp.stack([w_row,
-                                jnp.where(fam >= 1, jnp.minimum(vi, n - 1),
-                                          w_row)]).astype(jnp.int32),
-        "count": jnp.where(fam >= 1, 2, 1).astype(jnp.int32),
+        "positions": jnp.stack([w_slot,
+                                jnp.where(has_partner, partner_slot,
+                                          w_slot)]).astype(jnp.int32),
+        "count": jnp.where(has_partner, 2, 1).astype(jnp.int32),
     }
     n_scored = (jnp.sum(sc["a_valid"], dtype=jnp.int64)
                 + jnp.sum(sc["c_valid"], dtype=jnp.int64)

@@ -85,8 +85,18 @@ class SweepConfig:
     """
 
     def __init__(self, requester, targets=None, window=None):
-        self.targets = int(targets or os.environ.get("GJ_SWEEP_TARGETS", 64))
-        self.window = int(window or os.environ.get("GJ_SWEEP_WINDOW", 16))
+        # explicit None checks: `targets or default` would silently replace
+        # an explicit 0 with the env default instead of rejecting it
+        if targets is None:
+            targets = os.environ.get("GJ_SWEEP_TARGETS", 64)
+        if window is None:
+            window = os.environ.get("GJ_SWEEP_WINDOW", 16)
+        self.targets = int(targets)
+        self.window = int(window)
+        if self.targets <= 0 or self.window <= 0:
+            raise ValueError(
+                f"sweep targets/window must be positive, got "
+                f"targets={self.targets} window={self.window}")
         schema = requester.planning_schema["planning_stops"]
         vm = requester.variables_manager
         cust_vars = np.asarray(schema["var_ids_np"]["customer_id"], np.int32)
@@ -318,7 +328,15 @@ def patch_tables(tables, ctx, av2, cfg: SweepConfig, utils):
     are recomputed and merged — bit-identical to `build_tables(ctx)` (the
     tables are a pure function of the ctx; tests/test_sweep.py pins the
     invariant). The full rebuild profiled at 2.6ms of the 7ms flagship
-    step (PROF_SWEEP_r04.json); the patch is ~60x less table work."""
+    step (PROF_SWEEP_r04.json); the patch is ~60x less table work.
+
+    NOT wired into the agent kernels: carrying (stop_tbl, route) through
+    the island-vmapped scan state and patching per step MEASURED SLOWER
+    than the per-step full rebuild (commit b782048 — the state-carried
+    tables break XLA's scan-carry aliasing and the where-merges cost more
+    than the rebuild they save). Kept, with the invariant test, as the
+    building block for a future non-vmapped single-island mode where the
+    ~60x table-work saving does materialize."""
     stop_tbl, route = tables
     n = ctx["v"].shape[0]
     kk = ctx["r_stop"].shape[0]
