@@ -35,6 +35,33 @@ def shard_rows(dm, n_shards):
     return dm, r
 
 
+def shard_rows_flat(dm, n_shards):
+    """Host helper: row-pad the matrix and return (flat_padded i32[S*r*L],
+    rows_per_shard). The flat layout keeps shard i's rows at flat indices
+    [i*r*L, (i+1)*r*L) so `sharded_dm_gather_flat` can own-compute on the
+    flat index directly — the score kernels' native dm access pattern
+    (`ops/routes.vrp_routes_packed`)."""
+    padded, r = shard_rows(dm, n_shards)
+    return padded.reshape(-1), r
+
+
+def sharded_dm_gather_flat(dm_shard_flat, flat_idx, n_locations, axis_name):
+    """dm.reshape(-1)[flat_idx] with the dm ROW-sharded over `axis_name`.
+
+    dm_shard_flat: i32[rows_per_shard * L] — this device's row block,
+    flattened; flat_idx: i32[...] flat (u*L + v) request indices REPLICATED
+    along `axis_name`. Owner-computes + psum, same exchange as
+    `sharded_dm_gather` but on the flat index space the route kernels use.
+    """
+    block = dm_shard_flat.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    lo = me.astype(flat_idx.dtype) * block
+    local = jnp.clip(flat_idx - lo, 0, block - 1)
+    mine = (flat_idx >= lo) & (flat_idx < lo + block)
+    vals = jnp.where(mine, dm_shard_flat[local], 0)
+    return jax.lax.psum(vals, axis_name)
+
+
 def sharded_dm_gather(dm_shard, u, v, axis_name):
     """dm[u, v] with the dm row-sharded over `axis_name`.
 

@@ -165,14 +165,23 @@ def distance_matrix_to_milli(distance_matrix, precision=3):
     return jnp.round(distance_matrix * scale).astype(jnp.int32)
 
 
-def tour_distance_fast(stops, dm_milli, depot=0, precision=3):
-    """Order-free closed-tour distance over the exact integer-milli matrix."""
-    legs = dm_milli[stops[:-1], stops[1:]]
-    total = (
-        jnp.sum(legs.astype(jnp.int64))
-        + dm_milli[depot, stops[0]]
-        + dm_milli[stops[-1], depot]
-    )
+def tour_distance_fast(stops, dm_milli, depot=0, precision=3, dm_at=None,
+                       n_locations=None):
+    """Order-free closed-tour distance over the exact integer-milli matrix.
+
+    `dm_at` (optional): flat-index accessor `i32[...] -> i32[...]` replacing
+    direct indexing — the partitioned-facts mode passes an owner-computes
+    gather over a row-sharded matrix (`ops/partitioned.py`); requires
+    `n_locations`. Results are bit-identical either way (integer sums)."""
+    if dm_at is None:
+        legs = dm_milli[stops[:-1], stops[1:]]
+        ends = dm_milli[depot, stops[0]] + dm_milli[stops[-1], depot]
+    else:
+        l = n_locations
+        legs = dm_at(stops[:-1] * l + stops[1:])
+        ends = (dm_at(jnp.asarray(depot * l, stops.dtype) + stops[0])
+                + dm_at(stops[-1] * l + depot))
+    total = jnp.sum(legs.astype(jnp.int64)) + ends
     return total.astype(jnp.float64) / float(10 ** precision)
 
 
@@ -214,6 +223,7 @@ def vrp_routes_packed(
     cust_rows,
     time_windowed,
     precision=3,
+    dm_at=None,
 ):
     """Gather-minimal route walk.
 
@@ -224,6 +234,11 @@ def vrp_routes_packed(
     O(N) gather is the chain-leg lookup into the flat integer-milli
     distance matrix (depot legs are K-sized gathers). Semantics identical
     to `vrp_routes_fast`.
+
+    `dm_at` (optional): flat-index accessor replacing direct
+    `dm_flat_milli[...]` indexing — the partitioned-facts mode passes an
+    owner-computes gather over a row-sharded matrix (`ops/partitioned.py`);
+    bit-identical results (integer gathers + psum of one-hot contributions).
     """
     v = sorted_vehicle_ids
     s = sorted_customer_ids
@@ -254,17 +269,19 @@ def vrp_routes_packed(
     )
     has_stops = jnp.zeros((k,), bool).at[v].set(True, mode="drop")
 
+    ga = dm_at if dm_at is not None else (lambda idx: dm_flat_milli[idx])
     chain_idx = s[:-1] * l + s[1:]
+    chain_vals = ga(chain_idx)
     chain_leg = jnp.concatenate(
-        [jnp.zeros((1,), dm_flat_milli.dtype),
-         jnp.where(is_first[1:], 0, dm_flat_milli[chain_idx])]
+        [jnp.zeros((1,), chain_vals.dtype),
+         jnp.where(is_first[1:], 0, chain_vals)]
     )
     depots = vehicle_depot_ids.astype(s.dtype)
     start_leg_k = jnp.where(
-        has_stops, dm_flat_milli[depots * l + first_customer], 0
+        has_stops, ga(depots * l + first_customer), 0
     )
     return_leg_k = jnp.where(
-        has_stops, dm_flat_milli[last_customer * l + depots], 0
+        has_stops, ga(last_customer * l + depots), 0
     )
     total_milli = (
         jnp.sum(chain_leg.astype(jnp.int64))

@@ -116,6 +116,13 @@ class RabbitMqBroker:
         self.solutions_exchange = solutions_exchange
         self.routing_key = routing_key
 
+    def submit_task(self, task_json):
+        """Client-side publish to the task queue (default exchange), the
+        reference python client's role
+        (`python_client/scripts/solve_vrp_by_rust_service.py:1-70`)."""
+        self.channel.basic_publish(exchange="", routing_key=self.task_queue,
+                                   body=json.dumps(task_json))
+
     def next_task(self, timeout=None):
         method, _props, body = self.channel.basic_get(self.task_queue,
                                                       auto_ack=True)

@@ -48,3 +48,80 @@ def test_sharded_dm_gather_matches_dense(n_facts):
 
     expect = np.asarray(dm)[np.asarray(u), np.asarray(v)]
     np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def _islands_facts_mesh(n_islands, n_facts):
+    devs = np.array(jax.devices()[: n_islands * n_facts]).reshape(
+        n_islands, n_facts)
+    return Mesh(devs, ("islands", "facts"))
+
+
+def test_partitioned_plain_vrp_scores_bit_identical():
+    """VERDICT r4 item 4: the `ScoreRequester` partitioned mode — dm
+    row-sharded over the facts axis of an (islands, facts) mesh — must
+    reproduce replicated plain scoring bit for bit."""
+    from greyjack_tpu.models.vrp import CotwinBuilder, generate_instance
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+
+    n_islands, n_facts = 2, 4
+    mesh = _islands_facts_mesh(n_islands, n_facts)
+    domain = generate_instance(30, 2, 6, seed=4, time_windowed=True)
+    req = ScoreRequester(CotwinBuilder(True, True).build_cotwin(domain, False))
+    fn = req.partitioned_plain_score_fn("facts")
+
+    dm_milli = req.cotwin.score_calculator.utility_objects[
+        "distance_matrix_milli"]
+    dm_flat, _r = partitioned.shard_rows_flat(dm_milli, n_facts)
+
+    p = 8
+    pop = req.variables_manager.sample_variables(
+        jax.random.key(3), n_islands * p)
+    pop_blk = pop.reshape(n_islands, p, -1)
+
+    def block(dm_shard, pop_island):
+        return fn(dm_shard, pop_island[0])[None]
+
+    out = jax.jit(jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P("facts"), P("islands", None, None)),
+        out_specs=P("islands", None, None),
+    ))(dm_flat, pop_blk)
+
+    # each facts-device holds only its row block of the flat dm
+    shard_shapes = {s.data.shape for s in jax.device_put(
+        dm_flat, NamedSharding(mesh, P("facts"))).addressable_shards}
+    assert shard_shapes == {(dm_flat.shape[0] // n_facts,)}
+
+    expect = req.request_score_plain(pop).reshape(n_islands, p, -1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+def test_partitioned_plain_tsp_scores_bit_identical():
+    from greyjack_tpu.models.tsp import (CotwinBuilder,
+                                         generate_uniform_instance)
+    from greyjack_tpu.score_calculation.score_requesters import ScoreRequester
+
+    n_islands, n_facts = 4, 2
+    mesh = _islands_facts_mesh(n_islands, n_facts)
+    domain = generate_uniform_instance(25, seed=6)
+    req = ScoreRequester(CotwinBuilder(True, True).build_cotwin(domain, False))
+    fn = req.partitioned_plain_score_fn("facts")
+    dm_milli = req.cotwin.score_calculator.utility_objects[
+        "distance_matrix_milli"]
+    dm_flat, _r = partitioned.shard_rows_flat(dm_milli, n_facts)
+
+    p = 4
+    pop = req.variables_manager.sample_variables(
+        jax.random.key(9), n_islands * p)
+    pop_blk = pop.reshape(n_islands, p, -1)
+
+    def block(dm_shard, pop_island):
+        return fn(dm_shard, pop_island[0])[None]
+
+    out = jax.jit(jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P("facts"), P("islands", None, None)),
+        out_specs=P("islands", None, None),
+    ))(dm_flat, pop_blk)
+    expect = req.request_score_plain(pop).reshape(n_islands, p, -1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))

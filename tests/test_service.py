@@ -54,6 +54,66 @@ def test_service_streams_solutions():
     assert "sum_travel_distance" in streamed[0]
 
 
+def test_rabbitmq_broker_fake_pika(monkeypatch):
+    """Exercise the RabbitMqBroker adapter against an in-memory fake pika
+    module (pika is not installed here): task submit/consume and solution
+    publish mirror the reference's queue/exchange contract
+    (`vrp_service/src/main.rs:30-105`,
+    `observers/rabbitmq_observer.rs:31-57`)."""
+    import sys
+    import types
+
+    queues = {}
+    published = []
+
+    class FakeChannel:
+        def basic_publish(self, exchange, routing_key, body):
+            if exchange == "":
+                queues.setdefault(routing_key, []).append(body)
+            else:
+                published.append((exchange, routing_key, body))
+
+        def basic_get(self, queue, auto_ack=False):
+            pending = queues.get(queue, [])
+            if pending:
+                return ("method", None, pending.pop(0))
+            return (None, None, None)
+
+    class FakeConnection:
+        def __init__(self, params):
+            self.params = params
+            self.closed = False
+
+        def channel(self):
+            return FakeChannel()
+
+        def close(self):
+            self.closed = True
+
+    fake_pika = types.ModuleType("pika")
+    fake_pika.BlockingConnection = FakeConnection
+    fake_pika.ConnectionParameters = (
+        lambda host, port: {"host": host, "port": port})
+    monkeypatch.setitem(sys.modules, "pika", fake_pika)
+
+    from greyjack_tpu.service.brokers import RabbitMqBroker
+
+    broker = RabbitMqBroker("localhost")
+    assert broker.next_task() is None  # empty queue -> None, no raise
+
+    broker.submit_task({"job": 1, "payload": [1, 2, 3]})
+    got = broker.next_task()
+    assert got == {"job": 1, "payload": [1, 2, 3]}
+    assert broker.next_task() is None  # auto_ack drained it
+
+    broker.publish_solution({"score": [0, 1.5]})
+    assert published == [
+        ("vrp_solutions_exchange", "vrp_out", json.dumps({"score": [0, 1.5]}))
+    ]
+    broker.close()
+    assert broker.connection.closed
+
+
 def test_http_broker():
     broker = HttpBroker(port=0)
     try:
