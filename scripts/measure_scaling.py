@@ -52,10 +52,15 @@ def _parse(out):
     raise RuntimeError(f"no SCALING_RESULT in output:\n{out}")
 
 
-def run_single(islands, devices, cores, mesh, seconds, neighbours):
+def run_single(islands, devices, cores, mesh, seconds, neighbours,
+               sweep=False, targets=16, customers=200, depots=4, vehicles=10):
     cmd = ["taskset", "-c", cores, sys.executable, WORKER,
            "--islands", str(islands), "--seconds", str(seconds),
-           "--neighbours", str(neighbours)]
+           "--neighbours", str(neighbours),
+           "--customers", str(customers), "--depots", str(depots),
+           "--vehicles", str(vehicles)]
+    if sweep:
+        cmd += ["--sweep", "--sweep-targets", str(targets)]
     if mesh:
         cmd.append("--mesh")
     out = subprocess.run(cmd, env=_env(devices), capture_output=True,
@@ -123,14 +128,93 @@ def run_nproc_flagship(nproc, islands_per_proc, seconds, targets,
         recs
 
 
+def run_curve(seconds, targets, customers=1000, depots=8, vehicles=40,
+              devices_list=(1, 2, 4, 8)):
+    """ONE consistent 1->2->4->8 curve for the flagship sweep chunk
+    (VERDICT r4 item 5). This host has 2 physical cores, so a D-device run
+    timeshares them; the denominator at each D is D INDEPENDENT 1-device
+    processes at the SAME core oversubscription — the ratio isolates
+    mesh/collective overhead (the quantity that transfers to TPU ICI) from
+    raw CPU contention (a host artifact the TPU does not have)."""
+    curve = []
+    for d in devices_list:
+        coll = run_single(d, d, "0,1", d > 1, seconds, 64, sweep=True,
+                          targets=targets, customers=customers,
+                          depots=depots, vehicles=vehicles)
+        print(f"coll{d}:", coll, flush=True)
+        if d == 1:
+            indep = {"moves_per_s": coll["moves_per_s"]}
+            workers = [coll]
+        else:
+            port = _free_port()
+            procs = []
+            for pid in range(d):
+                cmd = ["taskset", "-c", str(pid % 2), sys.executable, WORKER,
+                       "--islands", "1", "--seconds", str(seconds),
+                       "--neighbours", "64", "--sweep",
+                       "--sweep-targets", str(targets),
+                       "--customers", str(customers),
+                       "--depots", str(depots),
+                       "--vehicles", str(vehicles)]
+                procs.append(subprocess.Popen(cmd, env=_env(1),
+                                              stdout=subprocess.PIPE,
+                                              stderr=subprocess.STDOUT,
+                                              text=True))
+            outs = [p.communicate(timeout=2400)[0] for p in procs]
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out
+            workers = [_parse(o) for o in outs]
+            indep = {"moves_per_s": round(
+                sum(r["moves_per_s"] for r in workers), 1)}
+            print(f"indep{d}:", indep, flush=True)
+        curve.append({
+            "devices": d,
+            "collective_moves_per_s": coll["moves_per_s"],
+            "independent_moves_per_s": indep["moves_per_s"],
+            "efficiency_vs_independent": round(
+                coll["moves_per_s"] / indep["moves_per_s"], 3),
+            "raw_vs_1dev_base": round(
+                coll["moves_per_s"] / (d * curve[0]
+                                       ["collective_moves_per_s"]), 3)
+            if curve else 1.0,
+        })
+    return curve
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING_r03.json")
     ap.add_argument("--islands-per-device", type=int, default=2)
     ap.add_argument("--neighbours", type=int, default=256)
     ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--curve", action="store_true",
+                    help="1->2->4->8 flagship sweep curve only "
+                         "(SCALING_r05 deliverable)")
+    ap.add_argument("--targets", type=int, default=16)
     args = ap.parse_args()
     ipd = args.islands_per_device
+
+    if args.curve:
+        t0 = time.time()
+        curve = run_curve(args.seconds, args.targets)
+        rec = {
+            "workload": ("flagship VRP sweep chunk, synthetic-tw-d8-n1000-"
+                         "k40, sweep TabuSearch targets=%d" % args.targets),
+            "method": ("collective D-device run vs D independent 1-device "
+                       "runs at the SAME 2-core oversubscription; the "
+                       "ratio isolates mesh/collective overhead from CPU "
+                       "contention (2 physical cores on this host)"),
+            "curve": curve,
+            "wall_s": round(time.time() - t0, 1),
+            "note": ("CPU stand-in for the multi-chip TPU measurement (one "
+                     "real chip available); shard_map/ppermute code path "
+                     "is identical on TPU ICI"),
+        }
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.out}", flush=True)
+        return
 
     t0 = time.time()
     base = run_single(ipd, 1, "0", False, args.seconds, args.neighbours)

@@ -141,12 +141,69 @@ def main():
     results["step_moves_per_s"] = round(
         moves_per_step / (results["step"]["ms"] / 1e3))
 
+    # --- roofline attribution (VERDICT r4 item 9) --------------------------
+    # XLA's own cost model per compiled stage (flops + HBM bytes estimate),
+    # divided by the measured scan-amortized time, against v5e peaks:
+    #   bf16 MXU        197 TFLOP/s   (f32 HIGHEST one-hot matmuls run
+    #                                  ~6 bf16 passes -> /6 effective peak)
+    #   HBM             819 GB/s
+    # The binding resource per stage says how far from speed-of-light it
+    # sits and whether more perf is on the table (op-overhead-bound stages
+    # are neither — their ceiling is dispatch, fixed by fusion not FLOPs).
+    def cost_of(fn, *args):
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        c = c or {}
+        return {"flops": float(c.get("flops", 0.0)),
+                "bytes": float(c.get("bytes accessed", 0.0))}
+
+    on_tpu = jax.default_backend() == "tpu"
+    PEAK_BF16 = 197e12
+    PEAK_F32_HIGHEST = PEAK_BF16 / 6.0
+    PEAK_BW = 819e9
+    stage_fns = {
+        "tables": (lambda cx: sweep.build_tables(cx, cfg, utils), (ctx,)),
+        "score": (lambda cx: sweep.score_candidates(
+            cx, t_rows, jnp.ones((t,), bool), jnp.zeros((n_rows,), bool),
+            cfg, utils), (ctx,)),
+        "propose": (lambda cx: sweep.propose(
+            jax.random.key(7), cx, free, masks, cfg, utils), (ctx,)),
+        "step": (b_step, (st0,)),
+    }
+    nil_s = results["nil"]["ms"] / 1e3
+    roofline = {}
+    for name, (fn, fargs) in stage_fns.items():
+        cost = cost_of(fn, *fargs)
+        secs = max(results[name]["ms"] / 1e3 - nil_s, 1e-9)
+        gflops = cost["flops"] / secs / 1e9
+        gbs = cost["bytes"] / secs / 1e9
+        row = {
+            "flops": cost["flops"],
+            "hbm_bytes_est": cost["bytes"],
+            "achieved_gflop_s": round(gflops, 1),
+            "achieved_gb_s": round(gbs, 1),
+        }
+        if on_tpu:
+            f_frac = gflops * 1e9 / PEAK_F32_HIGHEST
+            b_frac = gbs * 1e9 / PEAK_BW
+            row["pct_flops_roofline_f32highest"] = round(100 * f_frac, 2)
+            row["pct_hbm_roofline"] = round(100 * b_frac, 2)
+            row["binding"] = ("compute" if f_frac > b_frac else "memory") \
+                if max(f_frac, b_frac) > 0.2 else "op-overhead/latency"
+        roofline[name] = row
+        print(f"roofline {name:9s} {json.dumps(row)}", flush=True)
+
     out = os.environ.get("GJ_PROF_OUT")
     rec = {"note": ("scan-amortized per-step stage costs for the sweep "
-                    "step; 'nil' is the harness floor per iteration."),
+                    "step; 'nil' is the harness floor per iteration. "
+                    "Roofline: XLA cost-analysis flops/bytes over measured "
+                    "time vs v5e peaks (197 TF bf16 /6 for f32-HIGHEST "
+                    "matmuls, 819 GB/s HBM)."),
            "geometry": {"n_customers": n, "targets": t, "islands": islands,
                         "window": cfg.window},
-           "stages_ms": results}
+           "stages_ms": results,
+           "roofline": roofline}
     print(json.dumps(rec))
     if out:
         with open(os.path.join(root, out), "w") as f:

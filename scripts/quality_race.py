@@ -218,6 +218,8 @@ def main():
                     default=int(os.environ.get("GJ_RACE_JOBS", "0")) or None)
     ap.add_argument("--tsp", action="store_true",
                     help="append the TSP race leg (native/ref_tabu_tsp)")
+    ap.add_argument("--tsp-only", action="store_true",
+                    help="run ONLY the TSP legs (n=1000 seeds 37/91, n=60)")
     args = ap.parse_args()
 
     import jax
@@ -226,6 +228,21 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     jobs = args.jobs or os.cpu_count()
+    if args.tsp_only:
+        tsp_plans = ([(60, min(args.seconds, 30.0), 2, 8, 37)] if args.small
+                     else [(1000, args.seconds, 8, 64, 37),
+                           (1000, args.seconds, 8, 64, 91),
+                           (60, args.seconds, 8, 64, 37)])
+        records = []
+        for (n, secs, islands, targets, seed) in tsp_plans:
+            rec = race_tsp(n, secs, islands, targets, seed, jobs)
+            print(json.dumps({k2: v for k2, v in rec.items()
+                              if k2 not in ("reference", "tpu")}), flush=True)
+            records.append(rec)
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
+        return
     if args.small:
         plans = [(60, 2, 8, min(args.seconds, 30.0), 2, 10, 8, 37, True)]
     else:
@@ -254,10 +271,6 @@ def main():
     with open(args.out, "w") as f:
         json.dump(records, f, indent=1)
     print(f"wrote {args.out}", flush=True)
-
-
-if __name__ == "__main__":
-    main()
 
 
 # --- TSP race leg (second model family; C++ side = native/ref_tabu_tsp) ----
@@ -364,3 +377,7 @@ def race_tsp(n_locations, seconds, islands, sweep_targets, seed, jobs):
                   "scramble/insertion/inverse) vs the TSP sweep solver; "
                   "same greedy nearest-neighbour init"),
     }
+
+
+if __name__ == "__main__":
+    main()
