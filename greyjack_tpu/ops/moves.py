@@ -623,15 +623,31 @@ def dedupe_delta(delta):
 
 def apply_delta(base, delta):
     """Materialize one delta. iota-compare-select instead of a scatter:
-    KD selects over f[V] are pure vector ops, while one scatter op carries
+    selects over f[V] are pure vector ops, while one scatter op carries
     a large fixed cost on XLA:TPU (DESIGN.md §5). Later delta rows win on
-    position collisions, matching `.at[].set` semantics."""
+    position collisions, matching `.at[].set` semantics.
+
+    Width-dispatched: narrow deltas (the random-move paths, KD <= 8) unroll
+    to KD chained selects; wide deltas (full-tour sweep winners, KD ~ N)
+    use one [KD, V] match matrix + last-valid-row reduction — the unrolled
+    form at KD ~ 1000 emits a 1000-op serial dependency chain that
+    dominated both compile and step time (round-5 uncapped-2-opt lesson)."""
     iota = jnp.arange(base.shape[-1], dtype=jnp.int32)
-    out = base
-    for k in range(delta["positions"].shape[0]):
-        m = delta["valid"][k] & (iota == delta["positions"][k])
-        out = jnp.where(m, delta["values"][k].astype(base.dtype), out)
-    return out
+    kd = delta["positions"].shape[0]
+    if kd <= 8:
+        out = base
+        for k in range(kd):
+            m = delta["valid"][k] & (iota == delta["positions"][k])
+            out = jnp.where(m, delta["values"][k].astype(base.dtype), out)
+        return out
+    match = delta["valid"][:, None] & (delta["positions"][:, None]
+                                       == iota[None, :])        # [KD, V]
+    kidx = jnp.arange(kd, dtype=jnp.int32)
+    last_k = jnp.max(jnp.where(match, kidx[:, None], -1), axis=0)  # [V]
+    val = jnp.sum(
+        jnp.where(kidx[:, None] == last_k[None, :],
+                  delta["values"][:, None].astype(base.dtype), 0), axis=0)
+    return jnp.where(last_k >= 0, val, base)
 
 
 def take_one(tree, idx):

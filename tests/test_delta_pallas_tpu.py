@@ -89,3 +89,41 @@ def test_hw_small_notw():
 def test_hw_bench_geometry():
     # the exact round-2 crash shape: n=1000/d=8/K=40, tw, P=2048, 8 islands
     _parity_on_hw(n=1000, d=8, kveh=40, tw=True, p=2048, n_islands=8)
+
+
+def test_hw_pallas_under_shard_map():
+    """Mosaic kernel traced + executed INSIDE jax.shard_map (1-device mesh
+    on the single available chip — the composition, not the scale, is what
+    breaks: VERDICT r4 item 6, shard_map x pallas_call is where surprises
+    live). Parity against the XLA delta path through the same mesh."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    domain = generate_instance(96, 2, 8, seed=7, time_windowed=True)
+    cotwin = CotwinBuilder(True, True).build_cotwin(domain, False)
+    req = ScoreRequester(cotwin)
+    vm = req.variables_manager
+    cfg = moves.MoverConfig(vm, 0.2, None, [0.5, 0.5, 0.0, 0.0, 0.0, 0.0])
+    tabu = cfg.init_tabu_state()
+    utils = req._delta_utils()
+    calc = req.cotwin.score_calculator
+
+    base = vm.sample_variables(jax.random.key(3), 1)[0]
+    ctx = req.build_base_ctx(base)
+    deltas, _ = moves.move_population_delta(
+        jax.random.key(4), base, 256, vm, cfg, tabu)
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("islands",))
+
+    def block(ds):
+        out = delta_pallas.score_delta_batch(ctx, ds, utils)
+        assert out is not None, "kernel unexpectedly ineligible"
+        return out
+
+    got = jax.jit(jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), deltas),),
+        out_specs=P(),
+    ))(deltas)
+    want = jax.jit(jax.vmap(
+        lambda dd: calc.delta_score_fn(ctx, dd, utils)))(deltas)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
