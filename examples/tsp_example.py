@@ -40,6 +40,11 @@ def main():
         move_probas=[0.0, 0.2, 0.2, 0.2, 0.2, 0.2],
         migration_frequency=10,
         termination_strategy=termination_strategy,
+        # sweep neighbourhoods stay live under the reference's shipped
+        # score_precision=[3,3] (`tsp/src/main.rs:56`) — rounding happens
+        # at the accept boundary over exact integer sums
+        sweep=True,
+        sweep_targets=64,
     )
 
     solution = Solver.solve(

@@ -14,9 +14,10 @@ candidate's score delta is EXACT closed-form leg arithmetic.
 
 dm rows ride one-hot matmuls on the MXU (exact for milli values < 2^24,
 HIGHEST precision); no scalar gathers anywhere on the candidate axis. The
-winner materializes as a standard kd=2 delta, re-scored exactly through
-`_delta_parts` before the accept decision (defence in depth — the sweep
-scores are already exact; reference semantics
+winner materializes as a width-`cfg.kd` delta; its exact (d_hard, d_dist)
+key comes straight from the sweep tiles — every family delta is exact
+closed-form leg arithmetic, parity-pinned against full rescores
+(reference semantics
 `examples/tsp/src/score/incremental_score_calculator.rs:31-86`).
 """
 
@@ -58,6 +59,11 @@ class SweepConfig:
         if self.targets <= 0:
             raise ValueError(f"sweep targets must be positive, got "
                              f"{self.targets}")
+        schema0 = requester.planning_schema["path_stops"]
+        # clamp to the tour length: the target sampler draws from at most
+        # n_rows free slots (targets > n_rows crashed on small instances)
+        self.targets = min(self.targets,
+                           len(schema0["var_ids_np"]["locations_vec_id"]))
         self.window = 0 if window is None else int(window)  # unused: exact
         schema = requester.planning_schema["path_stops"]
         vm = requester.variables_manager
@@ -336,10 +342,16 @@ def propose(key, ctx, free, tabu_masks, cfg: SweepConfig, utils,
         "valid": valid,
     }
 
-    from greyjack_tpu.models.tsp import cotwin_builder as cb
-    parts = cb._delta_parts(ctx, delta, utils)
-    exact = jnp.stack([(-parts["d_unique"]).astype(jnp.int32),
-                       parts["d_soft"].astype(jnp.int32)])
+    # winner's exact (d_hard, d_dist): taken straight from the sweep tiles
+    # — every TSP family delta is exact closed-form leg arithmetic, pinned
+    # bit-for-bit against full rescores by test_tsp_sweep_family_parity /
+    # test_tsp_sweep_winner_decode_exact, so the former defence-in-depth
+    # `_delta_parts` re-score here was pure per-step cost (a sort + ~6
+    # fixed-cost gathers; removing it bought back much of the uncapped-span
+    # step-time increase)
+    exact = jnp.sum(
+        jnp.where((jnp.arange(keys_all.shape[0]) == best)[:, None],
+                  keys_all, 0), axis=0).astype(jnp.int32)
     exact = jnp.where(any_valid, exact, _STUB)
 
     # tabu_push expects group SLOT indices, not stop rows (they coincide

@@ -97,6 +97,12 @@ class SweepConfig:
             raise ValueError(
                 f"sweep targets/window must be positive, got "
                 f"targets={self.targets} window={self.window}")
+        # clamp to the stop count: the target sampler draws from at most
+        # n_rows free slots (targets > n_rows crashed on small instances)
+        self.targets = min(
+            self.targets,
+            len(requester.planning_schema["planning_stops"]
+                ["var_ids_np"]["customer_id"]))
         schema = requester.planning_schema["planning_stops"]
         vm = requester.variables_manager
         cust_vars = np.asarray(schema["var_ids_np"]["customer_id"], np.int32)

@@ -94,6 +94,7 @@ def vrp_configs(small):
     # (name, builder, islands, chunk_steps)
     isl = 2 if small else 8
     isl_hi = 4 if small else 512
+    isl_mid = 4 if small else 64
     return [
         ("TS-sweep", TabuSearch(nb, 0.2, True, None, probas, 10, lim,
                                 sweep=True, sweep_targets=tg), isl, 10),
@@ -112,6 +113,14 @@ def vrp_configs(small):
                                 lim), isl, 10),
         ("LSHADE", LSHADE(pop, pop, 0.2, 0.1, 1, 0.5, 0.9, 0.5, 0.2, None,
                           probas, 0.1, 10, lim), isl, 10),
+        # population MHs scale on the island axis (every candidate is a
+        # fresh full rescore — reference GA panics on incremental mode,
+        # `genetic_algorithm_base.rs:189-196`); the wide geometry shows
+        # the TPU-idiomatic throughput headroom
+        ("GA-wide", GeneticAlgorithm(pop, 0.5, 0.05, 0.2, None, probas, 0.1,
+                                     10, lim), isl_mid, 10),
+        ("LSHADE-wide", LSHADE(pop, pop, 0.2, 0.1, 1, 0.5, 0.9, 0.5, 0.2,
+                               None, probas, 0.1, 10, lim), isl_mid, 10),
     ]
 
 

@@ -239,8 +239,10 @@ def main():
             print(json.dumps({k2: v for k2, v in rec.items()
                               if k2 not in ("reference", "tpu")}), flush=True)
             records.append(rec)
-        with open(args.out, "w") as f:
-            json.dump(records, f, indent=1)
+            # incremental write: a crash on a later leg must not lose
+            # completed legs' records (round-5 lesson)
+            with open(args.out, "w") as f:
+                json.dump(records, f, indent=1)
         print(f"wrote {args.out}", flush=True)
         return
     if args.small:
