@@ -130,3 +130,38 @@ def test_multi_group_moves_stay_within_group():
                 assert (touched < 8).all() or (touched >= 8).all(), (
                     f"move {m} crossed groups: {touched}"
                 )
+
+
+def test_apply_delta_wide_matches_unrolled():
+    """The wide (matrix) apply_delta path must keep exact `.at[].set`
+    semantics — later rows win position collisions, invalid rows are
+    ignored — and agree with the narrow unrolled path on every width."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from greyjack_tpu.ops import moves
+
+    rng = np.random.RandomState(5)
+    v = 37
+    base = jnp.asarray(rng.uniform(0, 10, size=v))
+
+    def oracle(delta):
+        out = np.asarray(base).copy()
+        for p, val, ok in zip(np.asarray(delta["positions"]),
+                              np.asarray(delta["values"]),
+                              np.asarray(delta["valid"])):
+            if ok:
+                out[p] = val
+        return out
+
+    for kd in (1, 2, 8, 9, 33, 64):
+        pos = rng.randint(0, v, size=kd).astype(np.int32)
+        # force collisions: half the rows hit the same position
+        pos[kd // 2:] = pos[: kd - kd // 2]
+        delta = {
+            "positions": jnp.asarray(pos),
+            "values": jnp.asarray(rng.uniform(0, 10, size=kd)),
+            "valid": jnp.asarray(rng.rand(kd) < 0.7),
+        }
+        got = np.asarray(moves.apply_delta(base, delta))
+        np.testing.assert_array_equal(got, oracle(delta), err_msg=f"kd={kd}")
