@@ -243,49 +243,43 @@ def vrp_routes_packed(
     v = sorted_vehicle_ids
     s = sorted_customer_ids
     l = n_locations
-    k = num_vehicles
     n = s.shape[0]
 
     is_first = jnp.concatenate([jnp.array([True]), v[1:] != v[:-1]])
     is_last = jnp.concatenate([v[:-1] != v[1:], jnp.array([True])])
-    pos = jnp.arange(n, dtype=jnp.int32)
-    oob_k = jnp.asarray(k, v.dtype)
 
-    first_customer = (
-        jnp.zeros((k,), s.dtype).at[jnp.where(is_first, v, oob_k)]
-        .set(s, mode="drop")
-    )
-    last_customer = (
-        jnp.zeros((k,), s.dtype).at[jnp.where(is_last, v, oob_k)]
-        .set(s, mode="drop")
-    )
-    first_pos = (
-        jnp.full((k,), n, jnp.int32).at[jnp.where(is_first, v, oob_k)]
-        .set(pos, mode="drop")
-    )
-    last_pos = (
-        jnp.full((k,), n, jnp.int32).at[jnp.where(is_last, v, oob_k)]
-        .set(pos, mode="drop")
-    )
-    has_stops = jnp.zeros((k,), bool).at[v].set(True, mode="drop")
-
+    # scatter-free formulation (round-5 profile: the 7 per-vehicle `.at[]`
+    # scatters here were most of the 35 us/candidate plain-walk cost —
+    # XLA:TPU scatters carry a large fixed cost each, DESIGN.md §5). All
+    # per-vehicle quantities are re-expressed on the stop axis: the
+    # boundary stop itself carries its vehicle's depot leg / work-day
+    # bound via masked [N] gathers; integer sums keep bit-identical totals
+    # (order-free exact milli arithmetic).
     ga = dm_at if dm_at is not None else (lambda idx: dm_flat_milli[idx])
-    chain_idx = s[:-1] * l + s[1:]
-    chain_vals = ga(chain_idx)
+    depot_of_stop = vehicle_depot_ids[v].astype(s.dtype)
+    # ONE consolidated dm gather for chain + depot legs. Measured neutral
+    # vs three separate [N] gathers at [1024, 1000] (gathers here are
+    # element-throughput-bound at ~10ns/element, not fixed-cost-bound);
+    # kept because one op also caps the fixed cost for SMALL populations,
+    # where the per-gather overhead does dominate (scripts/bench_gather.py)
+    idx3 = jnp.concatenate([
+        s[:-1] * l + s[1:],                 # chain legs      [N-1]
+        depot_of_stop * l + s,              # depot->first    [N]
+        s * l + depot_of_stop,              # last->depot     [N]
+    ])
+    vals3 = ga(idx3)
+    chain_vals = vals3[: n - 1]
+    start_vals = vals3[n - 1: 2 * n - 1]
+    return_vals = vals3[2 * n - 1:]
     chain_leg = jnp.concatenate(
         [jnp.zeros((1,), chain_vals.dtype),
          jnp.where(is_first[1:], 0, chain_vals)]
     )
-    depots = vehicle_depot_ids.astype(s.dtype)
-    start_leg_k = jnp.where(
-        has_stops, ga(depots * l + first_customer), 0
-    )
-    return_leg_k = jnp.where(
-        has_stops, ga(last_customer * l + depots), 0
-    )
+    start_leg = jnp.where(is_first, start_vals, 0)
+    return_leg = jnp.where(is_last, return_vals, 0)
     total_milli = (
         jnp.sum(chain_leg.astype(jnp.int64))
-        + jnp.sum((start_leg_k + return_leg_k).astype(jnp.int64))
+        + jnp.sum((start_leg + return_leg).astype(jnp.int64))
     )
     sum_distance = total_milli.astype(jnp.float64) / float(10 ** precision)
 
@@ -296,14 +290,8 @@ def vrp_routes_packed(
     cs = cust_rows[:, 1]
     ce = cust_rows[:, 2]
     ct = cust_rows[:, 3]
-    w0_at = (
-        jnp.zeros((n + 1,), jnp.int32).at[first_pos]
-        .set(jnp.where(has_stops, work_day_start, 0), mode="drop")[:n]
-    )
-    w1_at = (
-        jnp.zeros((n + 1,), jnp.int32).at[last_pos]
-        .set(jnp.where(has_stops, work_day_end, 0), mode="drop")[:n]
-    )
+    w0_at = jnp.where(is_first, work_day_start[v].astype(jnp.int32), 0)
+    w1_at = jnp.where(is_last, work_day_end[v].astype(jnp.int32), 0)
 
     adds = jnp.where(is_first, -big, ct)
     floors = jnp.where(is_first, jnp.maximum(w0_at, cs) + ct, cs + ct)

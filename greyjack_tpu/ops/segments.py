@@ -17,9 +17,17 @@ def count_minus_n_unique(values, num_buckets):
     Replaces Polars `col.len() - col.n_unique()` (nqueens
     `plain_score_calculator.rs:44-48`, tsp `plain_score_calculator.rs:46`).
     values: int[N] -> f64 scalar.
+
+    Sort-based distinct count, not a bincount: the bincount scatter was 72%
+    of the whole VRP plain rescore under vmap (131 of 182 ms at [1024, 1000]
+    on v5e — each XLA:TPU scatter carries a large fixed cost, DESIGN.md §5);
+    one i32 sort + adjacent-compare is ~40x cheaper and needs no bucket
+    bound. `num_buckets` is kept for API compatibility (unused).
     """
-    counts = jnp.bincount(values, length=num_buckets)
-    n_unique = jnp.sum(counts > 0)
+    if values.shape[0] == 0:
+        return jnp.zeros((), jnp.float64)
+    s = jnp.sort(values)
+    n_unique = 1 + jnp.sum(s[1:] != s[:-1])
     return (values.shape[0] - n_unique).astype(jnp.float64)
 
 
