@@ -119,10 +119,15 @@ def test_hw_pallas_under_shard_map():
         assert out is not None, "kernel unexpectedly ineligible"
         return out
 
+    # check_vma=False as in the production mesh path (parallel/islands.py):
+    # pallas_call's out_shapes carry no `vma`, so shard_map's default
+    # varying-across-mesh check rejects ANY pallas_call inside shard_map —
+    # exactly the composition surprise this test exists to pin
     got = jax.jit(jax.shard_map(
         block, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(), deltas),),
         out_specs=P(),
+        check_vma=False,
     ))(deltas)
     want = jax.jit(jax.vmap(
         lambda dd: calc.delta_score_fn(ctx, dd, utils)))(deltas)
