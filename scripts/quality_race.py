@@ -220,6 +220,8 @@ def main():
                     help="append the TSP race leg (native/ref_tabu_tsp)")
     ap.add_argument("--tsp-only", action="store_true",
                     help="run ONLY the TSP legs (n=1000 seeds 37/91, n=60)")
+    ap.add_argument("--legs", type=int, default=None,
+                    help="run only the first N planned legs")
     args = ap.parse_args()
 
     import jax
@@ -257,6 +259,8 @@ def main():
             (1000, 8, 40, args.seconds, 8, 10, 64, 37, False),
         ]
 
+    if args.legs:
+        plans = plans[: args.legs]
     records = []
     for (n, nd, k, secs, islands, chunk, targets, seed, tw) in plans:
         rec = race(n, nd, k, secs, islands, chunk, targets, seed, tw, jobs)
