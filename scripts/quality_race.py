@@ -231,10 +231,14 @@ def main():
 
     jobs = args.jobs or os.cpu_count()
     if args.tsp_only:
+        # islands=32 is the measured 90s quality knee for n=1000 (round-5
+        # probe: 2.379M dist vs 2.400M at 8 islands and 2.402M at 64)
         tsp_plans = ([(60, min(args.seconds, 30.0), 2, 8, 37)] if args.small
-                     else [(1000, args.seconds, 8, 64, 37),
-                           (1000, args.seconds, 8, 64, 91),
+                     else [(1000, args.seconds, 32, 64, 37),
+                           (1000, args.seconds, 32, 64, 91),
                            (60, args.seconds, 8, 64, 37)])
+        if args.legs:
+            tsp_plans = tsp_plans[: args.legs]
         records = []
         for (n, secs, islands, targets, seed) in tsp_plans:
             rec = race_tsp(n, secs, islands, targets, seed, jobs)
