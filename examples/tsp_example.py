@@ -9,8 +9,6 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-import sys
-
 from greyjack_tpu.models.tsp import (
     DomainBuilder,
     CotwinBuilder,

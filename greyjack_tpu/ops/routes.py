@@ -225,15 +225,15 @@ def vrp_routes_packed(
     precision=3,
     dm_at=None,
 ):
-    """Gather-minimal route walk.
+    """Scatter-free route walk.
 
     cust_rows: i32[N, 4] per sorted stop — [demand, tw_start, tw_end,
-    service], prefetched via `join.sort_merge_lookup`. Vehicle facts stay
-    [K]-sized constants: per-vehicle first/last stops come from scatters
-    and work-day bounds are scattered onto boundary positions, so the only
-    O(N) gather is the chain-leg lookup into the flat integer-milli
-    distance matrix (depot legs are K-sized gathers). Semantics identical
-    to `vrp_routes_fast`.
+    service], prefetched via `join.sort_merge_lookup`. All per-vehicle
+    quantities live on the stop axis: boundary stops (is_first / is_last)
+    carry their vehicle's depot legs and work-day bounds via masked [N]
+    gathers — no `.at[]` scatters anywhere (each XLA:TPU scatter carries a
+    large fixed cost; this function is the plain-path hot loop). Semantics
+    identical to `vrp_routes_fast`.
 
     `dm_at` (optional): flat-index accessor replacing direct
     `dm_flat_milli[...]` indexing — the partitioned-facts mode passes an
